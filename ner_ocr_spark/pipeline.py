@@ -1,0 +1,149 @@
+"""The end-to-end extraction pipeline (SURVEY.md §4.4 physical sketch).
+
+    documents(doc_id, spans array<struct<kind,text,media_ref,offset>>)
+      -> posexplode (span_idx mints the order the invariant needs)
+      -> route kind: text -> JVM normalizer; media -> repartition(doc_id,
+         span_idx) [skew defusal] -> mapInPandas OCR -> same normalizer
+      -> unionByName -> mapInPandas NER (gazetteer+BIO)
+      -> assemble: groupBy(doc_id) sort_array(collect_list(...))
+
+Two shuffles total: the media-branch repartition and the assembly groupBy.
+Span order is carried explicitly via (span_idx, line_idx) — never partition
+order (SURVEY.md §7 hard part (a)).
+
+Reference parity: the per-file loop of /root/reference/src/pipelines/base.py:31-57
+becomes scan parallelism; OCR dispatch /root/reference/src/bounding_box.py:278-309
+becomes the kind route; each span is enhanced exactly once (the reference CLI's
+accidental O(k^2) re-enhancement, /root/reference/src/pipelines/ocr.py:66-74,
+is intentionally not reproduced — the UI path at
+/root/reference/src/ui/app.py:525-530 shows intended semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ner_ocr_spark import corpus as corpus_mod
+from ner_ocr_spark.operators.extract import OCR_SCHEMA, make_ner_stage, make_ocr_stage
+from ner_ocr_spark.operators.normalize import normalize_expr
+
+SPAN_COLS = ["doc_id", "span_idx", "line_idx", "kind", "text", "media_ref",
+             "box", "score", "error"]
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """documents -> long span table; span_idx = array position = order."""
+    return documents.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def extract_spans(
+    documents: DataFrame,
+    blobs: DataFrame | None = None,
+    blob_resolver: Callable[[str], bytes] | None = None,
+    media_partitions: int | None = None,
+    gazetteer: list[tuple[str, str]] | None = None,
+    with_ner: bool = True,
+) -> DataFrame:
+    """Full extraction: ordered (kind, text, media_ref) span rows per doc,
+    plus entities/bio when with_ner.
+
+    blobs: optional media table (media_ref, image_png) joined executor-side;
+    otherwise blob_resolver(media_ref) fetches bytes inside the OCR UDF
+    (default: the synthetic corpus renderer — models an object-store fetch).
+    media_partitions: width of the media-branch repartition; defaults to
+    spark.sql.shuffle.partitions. Partitioning key is (doc_id, span_idx) so
+    one media-heavy document spreads across the cluster (north-rule skew
+    clause) — reassembly restores order via span_idx, never partition order.
+    """
+    spark = documents.sparkSession
+    spans = explode_spans(documents)
+
+    n_part = media_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # -- text branch: pure JVM expressions (codegen, no python) -----------
+    text_branch = (
+        spans.filter(F.col("kind") == "text")
+        .select(
+            "doc_id",
+            "span_idx",
+            F.lit(0).alias("line_idx"),
+            "kind",
+            normalize_expr(F.col("text")).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(None).cast("array<double>").alias("box"),
+            F.lit(1.0).alias("score"),
+            F.lit(None).cast("string").alias("error"),
+        )
+        .filter(F.length("text") > 0)
+    )
+
+    # -- media branch: spread heavy docs, then batched OCR ----------------
+    media = spans.filter(F.col("kind") == "media").select(
+        "doc_id", "span_idx", "media_ref"
+    )
+    if blobs is not None:
+        media = media.join(blobs, "media_ref", "left")
+    # (doc_id, span_idx) hash-spread = salted repartition: a 1000-media-span
+    # doc lands on ~all partitions instead of one straggler task
+    media = media.repartition(n_part, "doc_id", "span_idx")
+    ocr_rows = media.mapInPandas(make_ocr_stage(blob_resolver), OCR_SCHEMA)
+    media_branch = ocr_rows.withColumn("text", normalize_expr(F.col("text"))).filter(
+        (F.length("text") > 0) | F.col("error").isNotNull()
+    )
+
+    merged = text_branch.unionByName(media_branch).select(*SPAN_COLS)
+
+    if not with_ner:
+        return merged
+    gaz = gazetteer if gazetteer is not None else corpus_mod.GAZETTEER
+    ner_fn, ner_schema = make_ner_stage(gaz, passthrough=merged.schema)
+    return merged.mapInPandas(ner_fn, ner_schema)
+
+
+def assemble_documents(extracted: DataFrame) -> DataFrame:
+    """Re-assemble the per-document ordered span array — the exact shape of
+    the span-sequence-equality invariant (kind, text, media_ref, order).
+    sort_array on the leading (span_idx, line_idx) struct fields restores
+    order without a global sort."""
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_idx"),
+                    F.col("line_idx"),
+                    F.col("kind"),
+                    F.col("text"),
+                    F.col("media_ref"),
+                )
+            )
+        ),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+        ),
+    )
+    return extracted.filter(F.col("error").isNull()).groupBy("doc_id").agg(
+        ordered.alias("spans")
+    )
+
+
+def run(
+    spark: SparkSession,
+    documents: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """extract + assemble in one plan."""
+    return assemble_documents(extract_spans(documents, **kwargs))

@@ -1,0 +1,62 @@
+"""End-to-end span-sequence equality vs the pure-Python oracle
+(SURVEY.md §5.2.3; BASELINE.json invariant: (kind, text, media_ref, order))."""
+
+from __future__ import annotations
+
+from ner_ocr_spark import corpus, oracle, pipeline
+
+
+def test_span_sequence_equality(spark, documents_df):
+    result = pipeline.run(spark, documents_df)
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+           for r in result.collect()}
+    n_docs = documents_df.count()
+    assert len(got) == n_docs
+    for i in range(n_docs):
+        doc_id = corpus.doc_id_for(i)
+        want = [(s["kind"], s["text"], s["media_ref"])
+                for s in oracle.expected_spans(doc_id)]
+        assert got[doc_id] == want, f"span sequence mismatch for {doc_id}"
+
+
+def test_entities_match_oracle(spark, documents_df):
+    extracted = pipeline.extract_spans(documents_df)
+    rows = extracted.filter("error is null").orderBy("doc_id", "span_idx",
+                                                     "line_idx").collect()
+    by_doc: dict[str, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, doc_rows in by_doc.items():
+        want = oracle.expected_entities(doc_id)
+        assert len(doc_rows) == len(want)
+        for got_row, want_row in zip(doc_rows, want):
+            got_ents = [(e["entity_type"], e["surface"], e["start"], e["end"])
+                        for e in (got_row["entities"] or [])]
+            want_ents = [(e["entity_type"], e["surface"], e["start"], e["end"])
+                         for e in want_row["entities"]]
+            assert got_ents == want_ents
+            assert got_row["bio"] == want_row["bio"]
+
+
+def test_no_errors_on_clean_corpus(spark, documents_df):
+    extracted = pipeline.extract_spans(documents_df, with_ner=False)
+    assert extracted.filter("error is not null").count() == 0
+
+
+def test_blobs_table_join_path(spark, documents_df):
+    """Media bytes can also arrive via a (media_ref, image_png) table."""
+    from ner_ocr_spark.pipeline import explode_spans
+
+    refs = [r["media_ref"] for r in explode_spans(documents_df)
+            .filter("kind = 'media'").select("media_ref").collect()]
+    blob_rows = [(ref, bytearray(corpus.render_media_blob(ref))) for ref in refs]
+    blobs = spark.createDataFrame(blob_rows, "media_ref string, image_png binary")
+    result = pipeline.run(spark, documents_df, blobs=blobs,
+                          blob_resolver=lambda ref: (_ for _ in ()).throw(
+                              RuntimeError("resolver must not be called")))
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+           for r in result.collect()}
+    doc0 = corpus.doc_id_for(0)
+    want = [(s["kind"], s["text"], s["media_ref"])
+            for s in oracle.expected_spans(doc0)]
+    assert got[doc0] == want
