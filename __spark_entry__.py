@@ -1,38 +1,639 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: build the input_hint-shaped interleaved corpus from
+                the sf0.001 documents table, run the full OCR+NER extraction
+                pipeline, return the assembled per-document span table.
+queries()     — one callable per implemented operator (SURVEY.md §2 + the
+                training-data operators from the driver brief).
+oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible query.
+
+Column names are aliased identically on both sides; doubles are rounded on
+both sides so the value-hash compares stably.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the input_hint-shaped table (doc_id, spans array<struct<kind,
+    text,media_ref,offset>>) from the driver's flat documents table:
+    sentences become text spans; every 10th doc gets a media span whose blob
+    the OCR stage synthesizes from the media_ref (deterministic)."""
+    docs = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"\. "), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    text_spans = F.transform(
+        sents,
+        lambda s, i: F.struct(
+            F.lit("text").alias("kind"),
+            s.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    media_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("doc"), F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                 F.lit("/m0")).alias("media_ref"),
+        F.lit(1_000_000).cast("int").alias("offset"),
+    )
+    spans = F.when(
+        F.col("doc_id") % 10 == 0, F.concat(text_spans, F.array(media_span))
+    ).otherwise(text_spans)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from ner_ocr_spark import pipeline
+
+    docs = interleaved_documents(spark, SF_DEFAULT)
+    extracted = pipeline.extract_spans(docs)
+    return pipeline.assemble_documents(extracted)
+
+
+# ---------------------------------------------------------------------------
+# operator queries (SURVEY.md §2) — each paired with oracle SQL below
+# ---------------------------------------------------------------------------
+
+def q_kind_route(spark, sf):  # S2 routing as conditional projection + count
+    return (
+        _t(spark, sf, "documents")
+        .withColumn("kind", F.when(F.col("lang") == "en", "text").otherwise("media"))
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_spans"))
+    )
+
+
+def q_ext_filter(spark, sf):  # S1/P1 whitelist filter
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("source").isin("src0", "src1", "src2"))
+        .select("doc_id", "source", "lang")
+    )
+
+
+def q_coalesce_blank(spark, sf):  # P3/P4 empty-string coalesce semantics
+    return _t(spark, sf, "documents").selectExpr(
+        "doc_id",
+        """coalesce(nullif(trim(CASE WHEN n_chars % 7 = 0 THEN NULL
+                                     WHEN n_chars % 7 = 1 THEN ''
+                                     ELSE substr(text, 1, 20) END), ''),
+                    'FALLBACK') AS t""",
+    )
+
+
+def q_rect_filter(spark, sf):  # J2 positional search (literal query rect)
+    from ner_ocr_spark.operators.spatial import positional_search
+
+    regions = _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 100).cast("int").alias("x1"),
+        (F.col("l_suppkey") % 100).cast("int").alias("y1"),
+        ((F.col("l_partkey") % 100) + 1 + F.col("l_linenumber")).cast("int").alias("x2"),
+        ((F.col("l_suppkey") % 100) + 5).cast("int").alias("y2"),
+    )
+    return positional_search(regions, 25.0, 25.0, 75.0, 75.0)
+
+
+def q_spatial_semi(spark, sf):  # J3 spatial semi self-join (padded)
+    from ner_ocr_spark.operators.spatial import spatial_semi_join
+
+    regions = _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 100).cast("int").alias("x1"),
+        (F.col("l_suppkey") % 100).cast("int").alias("y1"),
+        ((F.col("l_partkey") % 100) + 1 + F.col("l_linenumber")).cast("int").alias("x2"),
+        ((F.col("l_suppkey") % 100) + 5).cast("int").alias("y2"),
+    )
+    matches = _t(spark, sf, "part").filter(F.col("p_partkey") % 97 == 0).select(
+        (F.col("p_partkey") % 100).cast("int").alias("x1"),
+        ((F.col("p_partkey") * 7) % 100).cast("int").alias("y1"),
+        ((F.col("p_partkey") % 100) + 10).cast("int").alias("x2"),
+        (((F.col("p_partkey") * 7) % 100) + 10).cast("int").alias("y2"),
+    )
+    return spatial_semi_join(regions, matches, pad=5.0)
+
+
+def q_semi_join(spark, sf):  # J4 match-identity semi join
+    customer = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation").filter(F.col("n_regionkey") == 1)
+    return customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+def q_outer_align(spark, sf):  # J5 index alignment as left outer join
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer").filter(F.col("c_custkey") % 3 == 0)
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "left").select(
+        "o_orderkey",
+        F.coalesce(F.col("c_name"), F.lit("MISSING")).alias("c_name"),
+    )
+
+
+def q_counts(spark, sf):  # A1 group counts (metrics rows)
+    return (
+        _t(spark, sf, "events").groupBy("user_id").agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_geomean(spark, sf):  # A2 geometric-mean confidence = exp(avg(ln))
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.exp(F.avg(F.log("l_extendedprice"))), 2).alias("geomean_price"))
+    )
+
+
+def q_line_assembly(spark, sf):  # A4/A5 ordered string agg
+    docs = _t(spark, sf, "documents").select(
+        "lang", "doc_id", F.substring("text", 1, 10).alias("piece")
+    )
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "piece"))),
+            lambda s: s["piece"],
+        ),
+        " | ",
+    )
+    return docs.groupBy("lang").agg(joined.alias("line_text"))
+
+
+def q_sessionize(spark, sf):  # W2 gap sessionization (cumsum window)
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("epoch")
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    gap = F.col("epoch") - F.lag("epoch").over(w)
+    flag = F.when(gap.isNull() | (gap <= 1800), 0).otherwise(1)
+    return ev.withColumn(
+        "session_id", F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).select("user_id", "event_id", "session_id")
+
+
+def q_paragraph_gap(spark, sf):  # W4 gap flags between consecutive items
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("epoch")
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    gap = F.col("epoch") - F.lag("epoch").over(w)
+    flag = F.when(gap > 3600, 1).otherwise(0)
+    return ev.withColumn("f", flag).groupBy("user_id").agg(
+        (F.sum("f") + 1).alias("n_paragraphs")
+    )
+
+
+def q_markdown_assembly(spark, sf):  # W1-W4 + A3-A5 full layout pipeline
+    from ner_ocr_spark.operators.layout import to_markdown
+
+    regions = _t(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") % 50).cast("int").alias("doc_id"),
+        (F.col("l_partkey") % 40).cast("int").alias("y"),
+        (F.col("l_suppkey") % 100).cast("int").alias("x"),
+        F.col("l_returnflag").alias("text"),
+    )
+    return to_markdown(regions, line_threshold=3.0, gap_threshold=8.0)
+
+
+def q_json_extract(spark, sf):  # F6 JSON -> typed value with null fallback
+    ev = _t(spark, sf, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    return (
+        ev.withColumn("k", F.nullif(k, F.lit("")).cast("int"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"), F.count("k").alias("k_cnt"))
+    )
+
+
+def q_think_strip(spark, sf):  # F4/F5 think-block + EOS strip
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("chain of thought</think>"), F.substring("text", 1, 20),
+            F.lit("<|im_end|>")
+        ).alias("raw"),
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace("raw", r"^.*</think>", ""), r"(<\|im_end\|>)+$", ""
+    )
+    return docs.select("doc_id", stripped.alias("clean"))
+
+
+# -- training-data operators (driver brief) --------------------------------
+
+def q_dedup_exact(spark, sf):
+    from ner_ocr_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 30).alias("text")
+    )
+    return exact_dedup(docs)
+
+
+def q_ngram_jaccard(spark, sf):
+    from ner_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, n=1, group_col="lang", threshold=0.3)
+
+
+def q_minhash_pairs(spark, sf):  # rows-only (hash-seeded candidates)
+    from ner_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(docs)
+
+
+def q_simhash_candidates(spark, sf):  # rows-only
+    from ner_ocr_spark.operators.dedup import simhash_candidates
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return simhash_candidates(docs, prefix_bits=8)
+
+
+def q_cosine_topk(spark, sf):
+    from ner_ocr_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_lsh_topk(spark, sf):  # rows-only (approximate)
+    from ner_ocr_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries, k=5)
+
+
+def q_quality_features(spark, sf):
+    from ner_ocr_spark.operators.textstats import quality_features
+
+    return quality_features(_t(spark, sf, "documents")).select(
+        "doc_id", "n_words", "punct_ratio", "stopword_hits", "mean_word_len",
+        "quality_score",
+    )
+
+
+def q_token_count(spark, sf):
+    from ner_ocr_spark.operators.textstats import (
+        token_count_bpe_ish, token_count_ws,
+    )
+
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_ws_tokens"),
+        token_count_bpe_ish(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_lang_id(spark, sf):
+    from ner_ocr_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf, "documents")).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark, sf):  # rows-only (rolling hash fold)
+    from ner_ocr_spark.operators.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
+
+
+def q_tpch_q1(spark, sf):  # showcase agg (bench headline)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_extraction_e2e(spark, sf):  # the engine itself, rows-only oracle
+    from ner_ocr_spark import pipeline
+
+    docs = interleaved_documents(spark, sf)
+    out = pipeline.extract_spans(docs, with_ner=True)
+    return out.select(
+        "doc_id", "span_idx", "line_idx", "kind", "text", "media_ref", "bio"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kind_route": q_kind_route,
+        "ext_filter": q_ext_filter,
+        "coalesce_blank": q_coalesce_blank,
+        "rect_filter": q_rect_filter,
+        "spatial_semi": q_spatial_semi,
+        "semi_join": q_semi_join,
+        "outer_align": q_outer_align,
+        "counts": q_counts,
+        "geomean": q_geomean,
+        "line_assembly": q_line_assembly,
+        "sessionize": q_sessionize,
+        "paragraph_gap": q_paragraph_gap,
+        "markdown_assembly": q_markdown_assembly,
+        "json_extract": q_json_extract,
+        "think_strip": q_think_strip,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_candidates": q_simhash_candidates,
+        "cosine_topk": q_cosine_topk,
+        "lsh_topk": q_lsh_topk,
+        "quality_features": q_quality_features,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "tpch_q1": q_tpch_q1,
+        "extraction_e2e": q_extraction_e2e,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    rect_regions = """
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_partkey % 100 AS INT) AS x1,
+               CAST(l_suppkey % 100 AS INT) AS y1,
+               CAST((l_partkey % 100) + 1 + l_linenumber AS INT) AS x2,
+               CAST((l_suppkey % 100) + 5 AS INT) AS y2
+        FROM lineitem
     """
-    return {}
+    return {
+        "kind_route": """
+            SELECT CASE WHEN lang = 'en' THEN 'text' ELSE 'media' END AS kind,
+                   count(*) AS n_spans
+            FROM documents GROUP BY 1
+        """,
+        "ext_filter": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE source IN ('src0', 'src1', 'src2')
+        """,
+        "coalesce_blank": """
+            SELECT doc_id,
+                   coalesce(nullif(trim(CASE WHEN n_chars % 7 = 0 THEN NULL
+                                             WHEN n_chars % 7 = 1 THEN ''
+                                             ELSE substr(text, 1, 20) END), ''),
+                            'FALLBACK') AS t
+            FROM documents
+        """,
+        "rect_filter": f"""
+            SELECT * FROM ({rect_regions})
+            WHERE NOT (x1 > 75 OR 25 > x2 OR y1 > 75 OR 25 > y2)
+        """,
+        "spatial_semi": f"""
+            SELECT * FROM ({rect_regions}) r
+            WHERE EXISTS (
+                SELECT 1 FROM (
+                    SELECT CAST(p_partkey % 100 AS INT) AS mx1,
+                           CAST((p_partkey * 7) % 100 AS INT) AS my1,
+                           CAST((p_partkey % 100) + 10 AS INT) AS mx2,
+                           CAST(((p_partkey * 7) % 100) + 10 AS INT) AS my2
+                    FROM part WHERE p_partkey % 97 = 0
+                ) m
+                WHERE NOT (m.mx1 - 5 > r.x2 OR r.x1 > m.mx2 + 5
+                        OR m.my1 - 5 > r.y2 OR r.y1 > m.my2 + 5)
+            )
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM nation
+                          WHERE n_nationkey = c_nationkey AND n_regionkey = 1)
+        """,
+        "outer_align": """
+            SELECT o_orderkey, coalesce(c_name, 'MISSING') AS c_name
+            FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+              ON o_custkey = c_custkey
+        """,
+        "counts": "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+        "geomean": """
+            SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 2) AS geomean_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "line_assembly": """
+            SELECT lang,
+                   string_agg(substr(text, 1, 10), ' | ' ORDER BY doc_id) AS line_text
+            FROM documents GROUP BY lang
+        """,
+        "sessionize": """
+            SELECT user_id, event_id,
+                   sum(flag) OVER (PARTITION BY user_id ORDER BY epoch, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+                SELECT user_id, event_id, epoch,
+                       CASE WHEN lag_e IS NULL OR epoch - lag_e <= 1800
+                            THEN 0 ELSE 1 END AS flag
+                FROM (
+                    SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS epoch,
+                           lag(CAST(epoch(ts) AS BIGINT)) OVER
+                               (PARTITION BY user_id ORDER BY epoch(ts), event_id) AS lag_e
+                    FROM events
+                )
+            )
+        """,
+        "paragraph_gap": """
+            SELECT user_id, sum(flag) + 1 AS n_paragraphs
+            FROM (
+                SELECT user_id,
+                       CASE WHEN epoch - lag_e > 3600 THEN 1 ELSE 0 END AS flag
+                FROM (
+                    SELECT user_id, CAST(epoch(ts) AS BIGINT) AS epoch,
+                           lag(CAST(epoch(ts) AS BIGINT)) OVER
+                               (PARTITION BY user_id ORDER BY epoch(ts), event_id) AS lag_e
+                    FROM events
+                )
+            ) GROUP BY user_id
+        """,
+        "markdown_assembly": """
+            WITH regions AS (
+                SELECT CAST(l_orderkey % 50 AS INT) AS doc_id,
+                       CAST(l_partkey % 40 AS INT) AS y,
+                       CAST(l_suppkey % 100 AS INT) AS x,
+                       l_returnflag AS text
+                FROM lineitem
+            ), flagged AS (
+                SELECT *, CASE WHEN lag_y IS NULL OR abs(y - lag_y) <= 3
+                               THEN 0 ELSE 1 END AS flag
+                FROM (SELECT *, lag(y) OVER w AS lag_y FROM regions
+                      WINDOW w AS (PARTITION BY doc_id ORDER BY y)) s
+            ), sess AS (
+                SELECT *, sum(flag) OVER (PARTITION BY doc_id ORDER BY y
+                                          ROWS UNBOUNDED PRECEDING) AS line_id
+                FROM flagged
+            ), lines AS (
+                SELECT doc_id, line_id, avg(y) AS avg_y,
+                       string_agg(text, '   ' ORDER BY x, text) AS line_text
+                FROM sess GROUP BY doc_id, line_id
+            ), prefixed AS (
+                SELECT doc_id, line_id,
+                       CASE WHEN lag(avg_y) OVER w IS NOT NULL
+                                 AND avg_y - lag(avg_y) OVER w > 8
+                            THEN chr(10)||chr(10)||chr(10) ELSE '' END
+                       || line_text AS pline
+                FROM lines WINDOW w AS (PARTITION BY doc_id ORDER BY line_id)
+            )
+            SELECT doc_id, string_agg(pline, chr(10) ORDER BY line_id) AS page_text
+            FROM prefixed GROUP BY doc_id
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   sum(CAST(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT)) AS k_sum,
+                   count(CAST(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT)) AS k_cnt
+            FROM events GROUP BY event_type
+        """,
+        "think_strip": """
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           'chain of thought</think>' || substr(text, 1, 20) || '<|im_end|>',
+                           '^.*</think>', ''),
+                       '(<\\|im_end\\|>)+$', '') AS clean
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents
+            GROUP BY trim(regexp_replace(lower(substr(text, 1, 30)), '\\s+', ' ', 'g'))
+        """,
+        "ngram_jaccard": """
+            WITH grams AS (
+                SELECT doc_id AS id, lang AS block,
+                       list_distinct(string_split_regex(trim(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g')), ' ')) AS g
+                FROM documents WHERE doc_id < 100
+            )
+            SELECT l.id AS id_a, r.id AS id_b,
+                   round(CAST(len(list_intersect(l.g, r.g)) AS DOUBLE)
+                         / len(list_distinct(list_concat(l.g, r.g))), 4) AS jaccard
+            FROM grams l JOIN grams r ON l.block = r.block AND l.id < r.id
+            WHERE CAST(len(list_intersect(l.g, r.g)) AS DOUBLE)
+                  / len(list_distinct(list_concat(l.g, r.g))) >= 0.3
+        """,
+        "cosine_topk": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            q AS (SELECT vec_id AS query_id, e AS qv FROM emb WHERE vec_id < 3),
+            scored AS (
+                SELECT q.query_id, emb.vec_id,
+                       round(list_dot_product(emb.e, q.qv)
+                             / (sqrt(list_dot_product(emb.e, emb.e))
+                                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+                FROM emb CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "quality_features": """
+            WITH base AS (
+                SELECT doc_id, text, length(text) AS n_chars,
+                       len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+                       len(list_intersect(
+                           list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                           ['the','a','of','and','to','in','is','on','for','with']))
+                           AS stopword_hits,
+                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                           AS n_punct
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
+                   CAST(stopword_hits AS BIGINT) AS stopword_hits,
+                   round(CAST(n_chars AS DOUBLE) / greatest(n_words, 1), 4) AS mean_word_len,
+                   round(least(1.0,
+                         (n_words / 50.0) * 0.5
+                         + CASE WHEN stopword_hits >= 2 THEN 0.3 ELSE 0.0 END
+                         + CASE WHEN CAST(n_chars AS DOUBLE) / greatest(n_words, 1)
+                                     BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END), 4)
+                       AS quality_score
+            FROM base
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+                       AS n_ws_tokens,
+                   CAST(list_sum(list_transform(
+                        string_split_regex(lower(text), '[^a-z0-9]+'),
+                        w -> CASE WHEN length(w) = 0 THEN 0
+                                  ELSE CAST(ceil(length(w) / 4.0) AS INT) END))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "lang_id": """
+            WITH scored AS (
+                SELECT doc_id,
+                       len(list_intersect(w, ['the','and','of','is','with'])) AS h_en,
+                       len(list_intersect(w, ['der','und','die','ist','mit'])) AS h_de,
+                       len(list_intersect(w, ['le','et','la','est','avec'])) AS h_fr,
+                       len(list_intersect(w, ['el','y','la','es','con'])) AS h_es,
+                       len(list_intersect(w, ['de','shi','he','zai','le'])) AS h_zh
+                FROM (SELECT doc_id,
+                             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                      FROM documents)
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en,h_de,h_fr,h_es,h_zh) = 0 THEN 'en'
+                        WHEN h_zh = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'zh'
+                        WHEN h_fr = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'fr'
+                        WHEN h_es = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'es'
+                        WHEN h_de = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'de'
+                        ELSE 'en' END AS lang_pred
+            FROM scored
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+    }

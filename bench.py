@@ -1,0 +1,85 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "docs_per_sec": ...}.
+
+The headline is the engine's real workload — the end-to-end OCR+NER
+extraction pipeline over the interleaved corpus derived from the sf
+documents table — plus representative relational/training-data operators.
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+scripts/scaling_bench.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "sessionize",
+    "markdown_assembly",
+    "spatial_semi",
+    "dedup_exact",
+    "minhash_pairs",
+    "cosine_topk",
+    "quality_features",
+    "token_count",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from ner_ocr_spark import pipeline
+    from ner_ocr_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    # headline: end-to-end extraction (docs/sec)
+    docs = entry.interleaved_documents(spark, SF_DIR)
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    out = pipeline.assemble_documents(pipeline.extract_spans(docs))
+    n_out = out.count()
+    e2e = time.monotonic() - t0
+    timings["extraction_e2e"] = round(e2e, 3)
+
+    qs = entry.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall (e2e OCR+NER extraction + operator set)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "docs_per_sec": round(n_out / e2e, 2) if e2e > 0 else None,
+                "n_docs": n_docs,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

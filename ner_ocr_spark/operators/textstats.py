@@ -1,0 +1,115 @@
+"""Text analysis operators (driver brief): language-ID heuristic, quality
+scoring, token counting, rolling-hash fingerprinting.
+
+All built-in expressions except nothing — even the rolling hash is an
+`aggregate` fold over characters' code points. These run on the `documents`
+driver table and on pipeline output alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+# tiny per-language marker lexicons for the n-gram/lexicon language-ID
+# heuristic (deterministic; the real corpus generator used en/de/zh/fr/es)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "und", "die", "ist", "mit"],
+    "fr": ["le", "et", "la", "est", "avec"],
+    "es": ["el", "y", "la", "es", "con"],
+    "zh": ["de", "shi", "he", "zai", "le"],
+}
+
+
+def words_expr(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words_expr(col))
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    """BPE-ish token estimate: word-piece regex splits on transitions
+    (letters / digits / punctuation runs), then ~4-chars-per-token for long
+    words. Deterministic and SQL-expressible."""
+    pieces = F.split(F.lower(col), r"[^a-z0-9]+")
+    return F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, w: acc + F.when(F.length(w) == 0, 0).otherwise(
+            F.ceil(F.length(w) / 4.0).cast("int")
+        ),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score in [0,1]."""
+    t = F.col(text_col)
+    words = words_expr(t)
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
+    return df.withColumns(
+        {
+            "n_chars": n_chars.cast("long"),
+            "n_words": n_words.cast("long"),
+            "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),
+            "stopword_hits": n_stop.cast("long"),
+            "mean_word_len": F.round(mean_word_len, 4),
+            "quality_score": F.round(
+                F.least(
+                    F.lit(1.0),
+                    (n_words / 50.0) * 0.5
+                    + F.when(n_stop >= 2, 0.3).otherwise(0.0)
+                    + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.2).otherwise(0.0),
+                ),
+                4,
+            ),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexicon-overlap language ID: argmax over per-language marker hits;
+    ties and zero-evidence fall back to 'en'. Pure expressions."""
+    words = F.array_distinct(words_expr(F.col(text_col)))
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.array_intersect(words, arr)).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax by (hits, reverse-alpha tiebreak is implicit in array_max over
+    # struct ordering: hits first, then lang string) — pin 'en' when all 0
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("en")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", window: int = 16) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash (base 257, mod 2^53-1)
+    of the normalized text, folded JVM-side over the char codes."""
+    # modulus bounded so acc*257+255 stays under int64 (ANSI overflow guard)
+    mod = F.lit((1 << 53) - 1)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    chars = F.split(norm, "")
+    full = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * 257 + F.ascii(ch), mod),
+    )
+    return df.withColumn("fingerprint", full)
