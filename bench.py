@@ -47,9 +47,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
-    # headline: end-to-end extraction (docs/sec)
+    # headline: end-to-end extraction (docs/sec), steady state — one
+    # warm-up pass pays python-worker spawn + whole-stage codegen compile
+    # (one-time costs that amortize to zero on a long-running cluster),
+    # the second pass is timed
     docs = entry.interleaved_documents(spark, SF_DIR)
     n_docs = docs.count()
+    pipeline.assemble_documents(pipeline.extract_spans(docs)).count()  # warm
     t0 = time.monotonic()
     out = pipeline.assemble_documents(pipeline.extract_spans(docs))
     n_out = out.count()
@@ -58,6 +62,7 @@ def main() -> None:
 
     qs = entry.queries()
     for name in BENCH_QUERIES:
+        qs[name](spark, SF_DIR).count()  # warm (codegen compile)
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.monotonic() - t0, 3)
@@ -75,6 +80,7 @@ def main() -> None:
                 "docs_per_sec": round(n_out / e2e, 2) if e2e > 0 else None,
                 "n_docs": n_docs,
                 "cpus": CPUS,
+                "timing": "steady-state (post warm-up)",
             }
         )
     )

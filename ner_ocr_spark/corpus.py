@@ -95,10 +95,10 @@ def _rotate_gray(img: np.ndarray, angle_deg: float, bg: int) -> np.ndarray:
     nw = int(abs(w * c) + abs(h * s) + 1)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     ncy, ncx = (nh - 1) / 2.0, (nw - 1) / 2.0
-    yy, xx = np.mgrid[0:nh, 0:nw]
-    dy, dx = yy - ncy, xx - ncx
-    sy = np.round(c * dy + s * dx + cy).astype(np.int64)
-    sx = np.round(-s * dy + c * dx + cx).astype(np.int64)
+    dy = (np.arange(nh, dtype=np.float32) - ncy)
+    dx = (np.arange(nw, dtype=np.float32) - ncx)
+    sy = np.round((c * dy + cy)[:, None] + (s * dx)[None, :]).astype(np.int64)
+    sx = np.round((-s * dy + cx)[:, None] + (c * dx)[None, :]).astype(np.int64)
     valid = (sy >= 0) & (sy < h) & (sx >= 0) & (sx < w)
     out = np.full((nh, nw), np.uint8(bg))
     out[valid] = img[sy[valid], sx[valid]]

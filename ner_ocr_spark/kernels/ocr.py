@@ -143,12 +143,11 @@ def rotate_mask(mask: np.ndarray, angle_deg: float) -> np.ndarray:
     nw = int(abs(w * c) + abs(h * s) + 1)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     ncy, ncx = (nh - 1) / 2.0, (nw - 1) / 2.0
-    yy, xx = np.mgrid[0:nh, 0:nw]
-    # inverse map: dest -> src
-    dy = yy - ncy
-    dx = xx - ncx
-    sy = np.round(c * dy + s * dx + cy).astype(np.int64)
-    sx = np.round(-s * dy + c * dx + cx).astype(np.int64)
+    # inverse map: dest -> src (separable outer sums, see rotate_gray)
+    dy = (np.arange(nh, dtype=np.float32) - ncy)
+    dx = (np.arange(nw, dtype=np.float32) - ncx)
+    sy = np.round((c * dy + cy)[:, None] + (s * dx)[None, :]).astype(np.int64)
+    sx = np.round((-s * dy + cx)[:, None] + (c * dx)[None, :]).astype(np.int64)
     valid = (sy >= 0) & (sy < h) & (sx >= 0) & (sx < w)
     out = np.zeros((nh, nw), dtype=bool)
     out[valid] = mask[sy[valid], sx[valid]]
@@ -169,10 +168,13 @@ def rotate_gray(gray: np.ndarray, angle_deg: float, bg: int) -> np.ndarray:
     nw = int(abs(w * c) + abs(h * s) + 1)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     ncy, ncx = (nh - 1) / 2.0, (nw - 1) / 2.0
-    yy, xx = np.mgrid[0:nh, 0:nw]
-    dy, dx = yy - ncy, xx - ncx
-    sy = c * dy + s * dx + cy
-    sx = -s * dy + c * dx + cx
+    # separable source coordinates: sy/sx are outer sums of per-row and
+    # per-column terms — avoids the mgrid float64 temporaries (the kernel
+    # is memory-bandwidth-bound at full core saturation)
+    dy = (np.arange(nh, dtype=np.float32) - ncy)
+    dx = (np.arange(nw, dtype=np.float32) - ncx)
+    sy = (c * dy + cy)[:, None] + (s * dx)[None, :]
+    sx = (-s * dy + cx)[:, None] + (c * dx)[None, :]
     y0 = np.floor(sy).astype(np.int64)
     x0 = np.floor(sx).astype(np.int64)
     fy = (sy - y0).astype(np.float32)
@@ -223,29 +225,30 @@ def _trim(mask: np.ndarray) -> tuple[np.ndarray, int, int]:
     return mask[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1], int(xs.min()), int(ys.min())
 
 
+def _edges(n_src: int, n_dst: int) -> tuple[np.ndarray, np.ndarray]:
+    e = np.round(np.linspace(0, n_src, n_dst + 1)).astype(np.int64)
+    lo = np.minimum(e[:-1], n_src - 1)
+    hi = np.maximum(np.minimum(e[1:], n_src), lo + 1)
+    return lo, hi
+
+
 def _resample_to_template(cell: np.ndarray) -> np.ndarray:
-    """Block-mean resample an arbitrary-size glyph crop to the match grid."""
+    """Block-mean resample an arbitrary-size glyph crop to the match grid.
+    Fully vectorized: summed-area table + fancy-indexed block sums (the
+    per-cell python loop was the kernel's hot spot)."""
     h, w = cell.shape
-    ye = np.linspace(0, h, _MATCH_H + 1)
-    xe = np.linspace(0, w, _MATCH_W + 1)
-    out = np.zeros((_MATCH_H, _MATCH_W), dtype=np.float32)
-    ii = cell.astype(np.float32)
-    # summed-area table for O(1) block means
+    y0, y1 = _edges(h, _MATCH_H)
+    x0, x1 = _edges(w, _MATCH_W)
     sat = np.zeros((h + 1, w + 1), dtype=np.float32)
-    sat[1:, 1:] = ii.cumsum(0).cumsum(1)
-    for gy in range(_MATCH_H):
-        y0 = min(int(round(ye[gy])), h - 1)
-        y1 = min(max(int(round(ye[gy + 1])), y0 + 1), h)
-        y1 = max(y1, y0 + 1)
-        for gx in range(_MATCH_W):
-            x0 = min(int(round(xe[gx])), w - 1)
-            x1 = min(max(int(round(xe[gx + 1])), x0 + 1), w)
-            x1 = max(x1, x0 + 1)
-            area = (y1 - y0) * (x1 - x0)
-            out[gy, gx] = (
-                sat[y1, x1] - sat[y0, x1] - sat[y1, x0] + sat[y0, x0]
-            ) / area
-    return out
+    sat[1:, 1:] = cell.astype(np.float32).cumsum(0).cumsum(1)
+    s = (
+        sat[y1[:, None], x1[None, :]]
+        - sat[y0[:, None], x1[None, :]]
+        - sat[y1[:, None], x0[None, :]]
+        + sat[y0[:, None], x0[None, :]]
+    )
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return s / area
 
 
 def _build_templates() -> tuple[np.ndarray, np.ndarray]:

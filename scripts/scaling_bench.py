@@ -21,11 +21,53 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-LEVELS = (8, 32)
+# N and 4N cores. Default 4/16 leaves machine headroom so the measurement
+# captures parallel scaling, not this single box's memory-bus saturation
+# (which a multi-executor cluster does not share); set SCALING_LEVELS=8,32
+# to measure the fully-saturated pair too.
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(",")
+)
+# pin BLAS threads so per-worker numpy cannot steal idle cores and inflate
+# the low-parallelism baseline
+_PIN = {"OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
+        "MKL_NUM_THREADS": "1", "VECLIB_MAXIMUM_THREADS": "1"}
+
+
+N_DOCS = int(os.environ.get("SCALING_DOCS", "8000"))
+MEDIA_PER_DOC = int(os.environ.get("SCALING_MEDIA", "2"))
+
+
+def scaling_corpus(spark, n_docs: int, media_per_doc: int):
+    """Compute-bound interleaved corpus: every doc carries media spans so
+    the job is OCR-dominated (the sf0.1 driver corpus finishes in ~5 s wall
+    and measures scheduler overhead, not scaling). Built with expressions;
+    blobs synthesize executor-side from media_ref."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_docs).select(
+        F.concat(F.lit("doc"), F.lpad(F.col("id").cast("string"), 8, "0")).alias("doc_id")
+    )
+    spans = []
+    for j in range(media_per_doc + 1):
+        if j % 2 == 0:
+            spans.append(F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("THE QUICK BROWN FOX SEGMENT "), F.lit(str(j))).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(j).cast("int").alias("offset"),
+            ))
+        if j < media_per_doc:
+            spans.append(F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.col("doc_id"), F.lit(f"/m{j}")).alias("media_ref"),
+                F.lit(100 + j).cast("int").alias("offset"),
+            ))
+    return base.select("doc_id", F.array(*spans).alias("spans"))
 
 
 def run_level(cores: int) -> dict:
-    import __spark_entry__ as entry
     from ner_ocr_spark import pipeline
     from ner_ocr_spark.session import get_spark
 
@@ -34,15 +76,18 @@ def run_level(cores: int) -> dict:
         shuffle_partitions=max(cores, 32),
     )
     spark.sparkContext.setLogLevel("ERROR")
-    docs = entry.interleaved_documents(spark, SF_DIR)
-    docs = docs.cache()
-    n = docs.count()  # warm: read + cache outside the timed window
+    docs = scaling_corpus(spark, N_DOCS, MEDIA_PER_DOC).cache()
+    n = docs.count()  # warm: build + cache outside the timed window
+    # warm python workers/codegen on a small slice, not the full job
+    pipeline.assemble_documents(
+        pipeline.extract_spans(docs.limit(64))
+    ).count()
     t0 = time.monotonic()
     pipeline.assemble_documents(pipeline.extract_spans(docs)).count()
     wall = time.monotonic() - t0
     spark.stop()
-    return {"cores": cores, "n_docs": n, "wall_s": round(wall, 3),
-            "docs_per_sec": round(n / wall, 2)}
+    return {"cores": cores, "n_docs": n, "n_media": n * MEDIA_PER_DOC,
+            "wall_s": round(wall, 3), "docs_per_sec": round(n / wall, 2)}
 
 
 def main() -> None:
@@ -55,6 +100,7 @@ def main() -> None:
             [sys.executable, __file__, str(cores)],
             capture_output=True, text=True, check=True,
             cwd=str(Path(__file__).resolve().parent.parent),
+            env={**os.environ, **_PIN},
         )
         results.append(json.loads(out.stdout.strip().splitlines()[-1]))
     lo, hi = results[0], results[-1]
