@@ -336,6 +336,67 @@ def q_fingerprint(spark, sf):  # rows-only (rolling hash fold)
     return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
 
 
+def q_semantic_search(spark, sf):  # J3 + F2 fuzzy (rows-only: difflib UDF)
+    from ner_ocr_spark.operators.search import search
+
+    regions = _t(spark, sf, "documents").select(
+        F.col("doc_id"),
+        F.lit(0).alias("page"),
+        F.col("doc_id").cast("int").alias("region_idx"),
+        F.substring("text", 1, 40).alias("text"),
+        (F.col("doc_id") % 100).cast("double").alias("x1"),
+        ((F.col("doc_id") * 3) % 100).cast("double").alias("y1"),
+        ((F.col("doc_id") % 100) + 20).cast("double").alias("x2"),
+        (((F.col("doc_id") * 3) % 100) + 10).cast("double").alias("y2"),
+    ).withColumn("doc_id", (F.col("doc_id") % 7).cast("string"))
+    return search(regions, "semantic", task="bench",
+                  text="window merge spark", threshold=0.8, search_padding=15.0)
+
+
+def q_entity_json(spark, sf):  # F6 + dynamic YAML schema (rows-only)
+    from ner_ocr_spark.schema import entity_registry, parse_entity_json
+
+    yaml_doc = """
+entities:
+  EventEntity:
+    create_list: true
+    fields:
+      k:
+        type: "int | None"
+      label:
+        type: "str | None"
+"""
+    reg = entity_registry(yaml_doc)
+    ev = _t(spark, sf, "events")
+    parsed = parse_entity_json(F.col("props"), reg["EventEntity"])
+    return ev.select(
+        "event_id", parsed["k"].alias("k"), parsed["label"].alias("label")
+    )
+
+
+def q_image_features(spark, sf):  # multimodal image decode (rows-only)
+    from ner_ocr_spark.operators.multimodal import MEDIA_SCHEMA, image_features
+    from ner_ocr_spark.operators.extract import OCR_SCHEMA  # noqa: F401
+
+    refs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40).select(
+        F.concat(F.lit("imgq/"), F.col("doc_id").cast("string")).alias("media_ref")
+    )
+
+    def _attach(batches):
+        from ner_ocr_spark import corpus
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["kind"] = "image"
+            pdf["payload"] = pdf["media_ref"].map(
+                lambda r: bytearray(corpus.render_media_blob(r))
+            )
+            pdf["mime"] = "image/png"
+            yield pdf
+
+    media = refs.mapInPandas(_attach, MEDIA_SCHEMA)
+    return image_features(media)
+
+
 def q_tpch_q1(spark, sf):  # showcase agg (bench headline)
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
     return (
@@ -389,6 +450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "semantic_search": q_semantic_search,
+        "entity_json": q_entity_json,
+        "image_features": q_image_features,
         "tpch_q1": q_tpch_q1,
         "extraction_e2e": q_extraction_e2e,
     }

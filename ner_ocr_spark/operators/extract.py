@@ -50,6 +50,7 @@ def make_ocr_stage(
     batch_timeout_s: float = 400.0,
     max_side_limit: int = 1500,
     min_score: float | None = None,
+    refine_below: float | None = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Build the OCR mapInPandas function.
 
@@ -96,6 +97,14 @@ def make_ocr_stage(
                 try:
                     png = row.image_png if has_png else resolver(row.media_ref)
                     lines = ocr.ocr_page(bytes(png), max_side_limit)
+                    if refine_below is not None and lines and any(
+                        lr.score < refine_below for lr in lines
+                    ):
+                        # M2 analog: score-gated second pass with a finer
+                        # deskew grid; keep the better-scoring line text
+                        lines = _refine_page(
+                            bytes(png), lines, max_side_limit, ocr
+                        )
                     if not lines:
                         emit(row.doc_id, int(row.span_idx), 0, None,
                              row.media_ref, None, 0.0, None)
@@ -108,6 +117,86 @@ def make_ocr_stage(
                     emit(row.doc_id, int(row.span_idx), 0, None, row.media_ref,
                          None, None, f"{type(e).__name__}: {e}")
             yield pd.DataFrame(out)
+
+    return stage
+
+
+def _refine_page(png: bytes, first_pass, max_side_limit: int, ocr):
+    """Fine-step re-recognition; per-line keep the higher-scoring text
+    (reference TrOCR enhancement semantics: enhance once, prefer the
+    enhanced result, /root/reference/src/ui/app.py:525-538)."""
+    import numpy as np
+
+    try:
+        gray = ocr.bounded_resize(ocr.decode_gray(png), max_side_limit)
+        mask = ocr.despeckle(ocr.binarize(gray))
+        angle = ocr.estimate_skew(mask, step=0.05)
+        if abs(angle) > 1e-9:
+            gray = ocr.rotate_gray(gray, angle, int(np.median(gray)))
+            mask = ocr.despeckle(ocr.binarize(gray))
+        second = ocr.recognize_mask(mask)
+    except Exception:  # noqa: BLE001 — keep the first pass on failure
+        return first_pass
+    if len(second) != len(first_pass):
+        # line segmentation changed; trust whichever pass scored higher
+        s1 = sum(lr.score for lr in first_pass) / max(len(first_pass), 1)
+        s2 = sum(lr.score for lr in second) / max(len(second), 1)
+        return second if s2 > s1 else first_pass
+    return [b if b.score > a.score else a for a, b in zip(first_pass, second)]
+
+
+def make_refine_stage(
+    blob_resolver: Callable[[str], bytes] | None = None,
+    max_side_limit: int = 1500,
+    fine_step: float = 0.05,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Second-pass refinement (reference M2 / TrOCR analog,
+    /root/reference/src/transformer_ocr.py:189-283): re-recognize a page
+    with a finer deskew grid and keep the better-scoring line text. The
+    caller filters to low-score rows first (two-pass enhancement pruning,
+    SURVEY.md §4.3.4 — each region enhanced exactly ONCE, unlike the
+    reference CLI's accidental O(k^2) loop). Input/output: OCR_SCHEMA rows.
+    Failures keep the first-pass row (error absorption)."""
+    from ner_ocr_spark import corpus
+    from ner_ocr_spark.kernels import ocr
+
+    resolver = blob_resolver or (lambda ref: corpus.render_media_blob(ref))
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list] = {}
+
+        def refined_lines(ref: str):
+            if ref not in cache:
+                try:
+                    gray = ocr.bounded_resize(
+                        ocr.decode_gray(resolver(ref)), max_side_limit
+                    )
+                    import numpy as np
+
+                    mask = ocr.despeckle(ocr.binarize(gray))
+                    angle = ocr.estimate_skew(mask, step=fine_step)
+                    if abs(angle) > 1e-9:
+                        gray = ocr.rotate_gray(gray, angle, int(np.median(gray)))
+                        mask = ocr.despeckle(ocr.binarize(gray))
+                    cache[ref] = ocr.recognize_mask(mask)
+                except Exception:  # noqa: BLE001
+                    cache[ref] = []
+            return cache[ref]
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            for i in pdf.index:
+                ref = pdf.at[i, "media_ref"]
+                li = int(pdf.at[i, "line_idx"])
+                lines = refined_lines(ref)
+                if li < len(lines) and (
+                    pdf.at[i, "score"] is None
+                    or lines[li].score > float(pdf.at[i, "score"])
+                ):
+                    pdf.at[i, "text"] = lines[li].text
+                    pdf.at[i, "score"] = float(lines[li].score)
+            cache.clear()
+            yield pdf
 
     return stage
 

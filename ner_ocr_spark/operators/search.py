@@ -1,0 +1,102 @@
+"""Search operators over OCR region tables (SURVEY.md §3.1 step 4b).
+
+The reference's RPAProcessor.search (/root/reference/src/rpa.py:331-374)
+re-expressed over a long-form regions DataFrame
+(doc_id, page, region_idx, text, x1, y1, x2, y2, score):
+
+  * positional_query — J2: literal-rect filter (spatial.positional_search)
+  * semantic_query   — J3: fuzzy-score every region (Arrow-batched pandas
+    UDF), threshold -> matches; then keep every region on the same
+    (doc_id, page) whose rect intersects ANY match's rect padded by
+    search_padding — a broadcast left-semi join with equi keys + theta
+    condition. The reference `break`s on first hit (no duplicates) and
+    preserves page order; the semi join + region_idx give the same rows
+    and order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ner_ocr_spark.operators.spatial import positional_search, rect_intersects
+
+DOC_KEYS = ["doc_id", "page"]
+
+
+def fuzzy_score_udf(query_text: str):
+    """Vectorized partial-ratio scorer vs a constant query (F2). The query
+    rides the closure; difflib state is per-call."""
+
+    @pandas_udf("double")
+    def _score(texts: pd.Series) -> pd.Series:
+        from ner_ocr_spark.kernels.fuzzy import score
+
+        return texts.map(lambda t: score(t, query_text))
+
+    return _score
+
+
+def positional_query(
+    regions: DataFrame, x1: float, y1: float, x2: float, y2: float
+) -> DataFrame:
+    """J2 with reference coord normalization (min/max swap tolerated)."""
+    return positional_search(regions, x1, y1, x2, y2)
+
+
+def semantic_query(
+    regions: DataFrame,
+    query_text: str,
+    threshold: float = 0.75,
+    search_padding: float = 50.0,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """J3: fuzzy stage + spatial neighbourhood expansion.
+
+    Defaults mirror SemanticQuery (/root/reference/src/custom_types/data.py:61-68).
+    The match side is small (thresholded) -> broadcast; the big side never
+    shuffles."""
+    keys = keys if keys is not None else DOC_KEYS
+    scored = regions.withColumn("fuzzy_score", fuzzy_score_udf(query_text)(F.col("text")))
+    matches = scored.filter(F.col("fuzzy_score") >= threshold).select(
+        *keys,
+        F.col("x1").alias("mx1"), F.col("y1").alias("my1"),
+        F.col("x2").alias("mx2"), F.col("y2").alias("my2"),
+    )
+    cond = rect_intersects(
+        F.col("mx1"), F.col("my1"), F.col("mx2"), F.col("my2"),
+        F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+        pad=search_padding,
+    )
+    on = [regions[k] == matches[k.replace(".", "_")] for k in keys] + [cond]
+    return regions.join(F.broadcast(matches), on=on, how="left_semi")
+
+
+def search(
+    regions: DataFrame,
+    search_type: str,
+    task: str | None = None,
+    **query,
+) -> DataFrame:
+    """Dispatch mirroring /root/reference/src/rpa.py:331-358, tagging the
+    result with search_type/search_task literal columns (SearchResult
+    analog, /root/reference/src/custom_types/data.py:42-48)."""
+    if search_type == "positional":
+        out = positional_query(
+            regions, query["x1"], query["y1"], query["x2"], query["y2"]
+        )
+    elif search_type == "semantic":
+        out = semantic_query(
+            regions,
+            query["text"],
+            threshold=query.get("threshold", 0.75),
+            search_padding=query.get("search_padding", 50.0),
+        )
+    else:
+        raise ValueError(f"Unsupported search type: {search_type}")
+    return out.withColumn("search_type", F.lit(search_type)).withColumn(
+        "search_task", F.lit(task).cast("string")
+    )

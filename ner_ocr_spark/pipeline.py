@@ -55,6 +55,7 @@ def extract_spans(
     media_partitions: int | None = None,
     gazetteer: list[tuple[str, str]] | None = None,
     with_ner: bool = True,
+    refine_below: float | None = None,
 ) -> DataFrame:
     """Full extraction: ordered (kind, text, media_ref) span rows per doc,
     plus entities/bio when with_ner.
@@ -98,7 +99,13 @@ def extract_spans(
     # (doc_id, span_idx) hash-spread = salted repartition: a 1000-media-span
     # doc lands on ~all partitions instead of one straggler task
     media = media.repartition(n_part, "doc_id", "span_idx")
-    ocr_rows = media.mapInPandas(make_ocr_stage(blob_resolver), OCR_SCHEMA)
+    # refinement happens INSIDE the OCR stage (per-page, score-gated): a
+    # filter-fork into a second mapInPandas would re-execute the whole OCR
+    # plan on both branches (or force a persist) — in-stage keeps it one
+    # pass, each low-score page refined exactly once (§4.3.4)
+    ocr_rows = media.mapInPandas(
+        make_ocr_stage(blob_resolver, refine_below=refine_below), OCR_SCHEMA
+    )
     media_branch = ocr_rows.withColumn("text", normalize_expr(F.col("text"))).filter(
         (F.length("text") > 0) | F.col("error").isNotNull()
     )

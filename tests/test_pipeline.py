@@ -60,3 +60,18 @@ def test_blobs_table_join_path(spark, documents_df):
     want = [(s["kind"], s["text"], s["media_ref"])
             for s in oracle.expected_spans(doc0)]
     assert got[doc0] == want
+
+
+def test_refine_pass_preserves_equality(spark, documents_df):
+    """refine_below=1.01 forces the second pass on every media page; the
+    clean corpus must still match the oracle exactly (enhance-once
+    semantics, no duplication)."""
+    from ner_ocr_spark import corpus, oracle
+
+    result = pipeline.run(spark, documents_df.limit(10), refine_below=1.01)
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+           for r in result.collect()}
+    for doc_id, spans in got.items():
+        want = [(s["kind"], s["text"], s["media_ref"])
+                for s in oracle.expected_spans(doc_id)]
+        assert spans == want, doc_id
