@@ -1,0 +1,107 @@
+"""CLI — the reference entrypoint's semantics on Spark
+(/root/reference/scripts/entrypoint.py:13-73 argparse, :110-163 dispatch).
+
+Modes:
+  extract — full OCR+NER pipeline, checkpointed (resumable) output
+  ocr     — extraction without NER (stage 1; reference --mode ocr)
+  entity  — NER + layout assembly over a stage-1 output table
+            (reference --mode entity re-reads stage-1 JSON,
+             /root/reference/src/pipelines/entity.py:41-42)
+
+Run locally:
+    python -m ner_ocr_spark extract -i docs.parquet -o out/
+Cluster (spark-submit --py-files, north-rule launch shape):
+    see scripts/submit_extract.sh
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="ner_ocr_spark")
+    p.add_argument("mode", choices=["extract", "ocr", "entity"])
+    p.add_argument("-i", "--input", required=True,
+                   help="parquet path of documents(doc_id, spans) — or of "
+                        "stage-1 span rows for mode=entity")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--chunks", type=int, default=8,
+                   help="checkpoint commit granularity (doc_id hash chunks)")
+    p.add_argument("--refine-below", type=float, default=None,
+                   help="second-pass OCR refinement threshold (M2 analog)")
+    p.add_argument("--entities-yaml", default=None,
+                   help="dynamic entity schema YAML (entity_builder parity)")
+    p.add_argument("--gazetteer", default=None,
+                   help="CSV of surface,entity_type (default: built-in)")
+    p.add_argument("--master", default=None)
+    p.add_argument("--line-threshold", type=float, default=10.0)
+    p.add_argument("--gap-threshold", type=float, default=50.0)
+    return p.parse_args(argv)
+
+
+def load_gazetteer(path: str | None) -> list[tuple[str, str]] | None:
+    if path is None:
+        return None
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                surface, etype = line.rsplit(",", 1)
+                out.append((surface.strip(), etype.strip()))
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from ner_ocr_spark import lineage
+    from ner_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name=f"ner_ocr_spark-{args.mode}", master=args.master)
+    gaz = load_gazetteer(args.gazetteer)
+
+    if args.mode in ("extract", "ocr"):
+        docs = spark.read.parquet(args.input)
+        stats = lineage.run_checkpointed(
+            spark,
+            docs,
+            args.output,
+            n_chunks=args.chunks,
+            with_ner=(args.mode == "extract"),
+            refine_below=args.refine_below,
+            gazetteer=gaz,
+        )
+        print(json.dumps(stats))
+    else:  # entity: stage-2 over stage-1 span rows
+        from pyspark.sql import functions as F
+
+        from ner_ocr_spark import corpus as corpus_mod
+        from ner_ocr_spark.operators.extract import make_ner_stage
+        from ner_ocr_spark.operators.layout import to_markdown
+
+        rows = spark.read.parquet(args.input)
+        regions = rows.filter(
+            (F.col("kind") == "media") & F.col("error").isNull()
+            & (F.size(F.coalesce("box", F.array())) == 4)
+        ).select(
+            "doc_id",
+            F.element_at("box", 2).alias("y"),
+            F.element_at("box", 1).alias("x"),
+            "text",
+        )
+        pages = to_markdown(regions, args.line_threshold, args.gap_threshold)
+        ner_fn, schema = make_ner_stage(
+            gaz if gaz is not None else corpus_mod.GAZETTEER,
+            text_col="page_text", passthrough=pages.schema,
+        )
+        pages.mapInPandas(ner_fn, schema).write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"mode": "entity", "output": args.output}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""Physical-plan quality gates (SURVEY.md §4.2): the optimizations the
+engine relies on at 100 TB must actually appear in the executed plan —
+predicate pushdown to the parquet scan, column pruning, broadcast joins for
+small sides, and a bounded shuffle count in the extraction pipeline."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _full(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 10).select("doc_id", "lang")
+    plan = _full(q)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id,10\)", plan)
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select("doc_id", "lang")
+    plan = _executed(q)
+    # the scan must read only the projected columns, never `text`
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "text" not in m.group(1)
+
+
+def test_spatial_semi_join_broadcasts_match_side(spark):
+    from ner_ocr_spark.operators.spatial import spatial_semi_join
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    regions = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 100).cast("double").alias("x1"),
+        F.lit(0.0).alias("y1"),
+        ((F.col("doc_id") % 100) + 10).cast("double").alias("x2"),
+        F.lit(10.0).alias("y2"),
+    )
+    plan = _executed(spatial_semi_join(regions, regions.limit(3)))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftSemi" in plan
+    # the big side must NOT shuffle for this join
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_semi_join_broadcast_hash(spark):
+    import __spark_entry__ as e
+
+    plan = _executed(e.q_semi_join(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_pipeline_shuffle_count(spark, documents_df):
+    """The extraction plan has exactly the two designed shuffles (media
+    repartition + reassembly groupBy) and no more."""
+    from ner_ocr_spark import pipeline
+
+    out = pipeline.run(spark, documents_df)
+    plan = _executed(out)
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 3, f"unexpected extra shuffles:\n{plan}"
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") <= 3
+
+
+def test_minhash_uses_partial_aggregation(spark):
+    """The signature groupBy must map-side combine (partial_min) so the
+    shuffle carries one row per doc, not one per shingle."""
+    from ner_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    plan = _executed(minhash_lsh_pairs(docs))
+    assert re.search(r"partial_min|HashAggregate.*\bmin\b", plan)
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    import __spark_entry__ as e
+
+    plan = _executed(e.q_cosine_topk(spark, SF))
+    assert "Broadcast" in plan
