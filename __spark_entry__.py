@@ -39,9 +39,20 @@ def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     text,media_ref,offset>>) from the driver's flat documents table:
     sentences become text spans; every 10th doc gets a media span whose blob
     the OCR stage synthesizes from the media_ref (deterministic)."""
-    docs = _t(spark, sf_dir, "documents")
+    # the driver texts have no sentence punctuation; chunk into 8-word
+    # spans so documents are genuinely multi-span interleaved. `words`
+    # MUST be a materialized column: inline split()-in-lambda re-evaluates
+    # the regex per chunk element (interpreted HOF, ~ms/row).
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "words", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    words = F.col("words")
+    n_chunks_expr = F.ceil(F.size(words) / F.lit(8)).cast("int")
     sents = F.filter(
-        F.transform(F.split(F.col("text"), r"\. "), lambda s: F.trim(s)),
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks_expr - 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+        ),
         lambda s: F.length(s) > 0,
     )
     text_spans = F.transform(
@@ -336,6 +347,59 @@ def q_fingerprint(spark, sf):  # rows-only (rolling hash fold)
     return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
 
 
+def q_explode_1n(spark, sf):  # S3 1:N expansion (pdf -> pages analog)
+    docs = _t(spark, sf, "documents")
+    pieces = F.split(F.col("text"), r"\s+")
+    return docs.select(
+        "doc_id", F.posexplode(pieces).alias("piece_idx", "piece")
+    ).select("doc_id", "piece_idx", F.length("piece").alias("piece_len"))
+
+
+def q_poly_bbox(spark, sf):  # F8 min/max over polygon points
+    li = _t(spark, sf, "lineitem").limit(5000)
+    poly = F.array(
+        F.array((F.col("l_partkey") % 100).cast("double"),
+                (F.col("l_suppkey") % 100).cast("double")),
+        F.array(((F.col("l_partkey") + 13) % 100).cast("double"),
+                ((F.col("l_suppkey") + 7) % 100).cast("double")),
+        F.array(((F.col("l_partkey") + 29) % 100).cast("double"),
+                ((F.col("l_suppkey") + 3) % 100).cast("double")),
+    )
+    pts = li.select("l_orderkey", "l_linenumber", poly.alias("poly"))
+    xs = F.transform(F.col("poly"), lambda p: F.element_at(p, 1))
+    ys = F.transform(F.col("poly"), lambda p: F.element_at(p, 2))
+    return pts.select(
+        "l_orderkey", "l_linenumber",
+        F.array_min(xs).alias("x_min"), F.array_min(ys).alias("y_min"),
+        F.array_max(xs).alias("x_max"), F.array_max(ys).alias("y_max"),
+    )
+
+
+def q_circle_rect(spark, sf):  # F11 circle-rectangle intersection expr
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_partkey") % 100).cast("double").alias("rx1"),
+        (F.col("l_suppkey") % 100).cast("double").alias("ry1"),
+        ((F.col("l_partkey") % 100) + 10).cast("double").alias("rx2"),
+        ((F.col("l_suppkey") % 100) + 10).cast("double").alias("ry2"),
+    )
+    cx, cy, r = F.lit(50.0), F.lit(50.0), F.lit(12.0)
+    closest_x = F.greatest(F.col("rx1"), F.least(cx, F.col("rx2")))
+    closest_y = F.greatest(F.col("ry1"), F.least(cy, F.col("ry2")))
+    d2 = F.pow(cx - closest_x, 2) + F.pow(cy - closest_y, 2)
+    return li.filter(d2 <= r * r)
+
+
+def q_topk_per_group(spark, sf):  # top-K per group (OLAP pattern)
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "event_id", F.round("value", 4).alias("value"), "rank")
+    )
+
+
 def q_semantic_search(spark, sf):  # J3 + F2 fuzzy (rows-only: difflib UDF)
     from ner_ocr_spark.operators.search import search
 
@@ -450,6 +514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "explode_1n": q_explode_1n,
+        "poly_bbox": q_poly_bbox,
+        "circle_rect": q_circle_rect,
+        "topk_per_group": q_topk_per_group,
         "semantic_search": q_semantic_search,
         "entity_json": q_entity_json,
         "image_features": q_image_features,
@@ -688,6 +756,50 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_de = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'de'
                         ELSE 'en' END AS lang_pred
             FROM scored
+        """,
+        "explode_1n": """
+            WITH p AS (SELECT doc_id,
+                              string_split_regex(text, '\\s+') AS pieces
+                       FROM documents)
+            SELECT doc_id, CAST(i - 1 AS INT) AS piece_idx,
+                   length(pieces[i]) AS piece_len
+            FROM p, LATERAL (SELECT unnest(range(1, len(pieces)+1)) AS i) t
+        """,
+        "poly_bbox": """
+            WITH pts AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(l_partkey % 100 AS DOUBLE) AS x0,
+                       CAST(l_suppkey % 100 AS DOUBLE) AS y0,
+                       CAST((l_partkey + 13) % 100 AS DOUBLE) AS x1,
+                       CAST((l_suppkey + 7) % 100 AS DOUBLE) AS y1,
+                       CAST((l_partkey + 29) % 100 AS DOUBLE) AS x2,
+                       CAST((l_suppkey + 3) % 100 AS DOUBLE) AS y2
+                FROM lineitem LIMIT 5000
+            )
+            SELECT l_orderkey, l_linenumber,
+                   least(x0, x1, x2) AS x_min, least(y0, y1, y2) AS y_min,
+                   greatest(x0, x1, x2) AS x_max, greatest(y0, y1, y2) AS y_max
+            FROM pts
+        """,
+        "circle_rect": """
+            SELECT * FROM (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(l_partkey % 100 AS DOUBLE) AS rx1,
+                       CAST(l_suppkey % 100 AS DOUBLE) AS ry1,
+                       CAST((l_partkey % 100) + 10 AS DOUBLE) AS rx2,
+                       CAST((l_suppkey % 100) + 10 AS DOUBLE) AS ry2
+                FROM lineitem
+            )
+            WHERE power(50.0 - greatest(rx1, least(50.0, rx2)), 2)
+                + power(50.0 - greatest(ry1, least(50.0, ry2)), 2) <= 144.0
+        """,
+        "topk_per_group": """
+            SELECT event_type, event_id, round(value, 4) AS value, rank FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id ASC) AS rank
+                FROM events
+            ) WHERE rank <= 3
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

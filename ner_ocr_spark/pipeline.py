@@ -96,9 +96,19 @@ def extract_spans(
     )
     if blobs is not None:
         media = media.join(blobs, "media_ref", "left")
-    # (doc_id, span_idx) hash-spread = salted repartition: a 1000-media-span
-    # doc lands on ~all partitions instead of one straggler task
-    media = media.repartition(n_part, "doc_id", "span_idx")
+        # size-aware balancing (§4.3.2): payload bytes ~ decoded pixel count
+        # ~ OCR cost; LPT round-robin beats count-equal hash spread when row
+        # costs vary by orders of magnitude
+        from ner_ocr_spark.operators.balance import balance_by_cost
+
+        media = balance_by_cost(
+            media.withColumn("_cost", F.length("image_png")),
+            "_cost", n_part, approximate=True,
+        ).drop("_cost")
+    else:
+        # (doc_id, span_idx) hash-spread = salted repartition: a
+        # 1000-media-span doc lands on ~all partitions, not one straggler
+        media = media.repartition(n_part, "doc_id", "span_idx")
     # refinement happens INSIDE the OCR stage (per-page, score-gated): a
     # filter-fork into a second mapInPandas would re-execute the whole OCR
     # plan on both branches (or force a persist) — in-stage keeps it one

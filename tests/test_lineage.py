@@ -79,3 +79,30 @@ def test_media_branch_spreads_heavy_doc(spark):
     # the heavy doc alone exceeds any single partition's share -> it spread
     assert max(counts) < heavy_spans
     assert len(counts) >= 4
+
+
+def test_balance_by_cost_beats_hash_spread(spark):
+    """LPT round-robin must equalize per-partition cost when row costs are
+    wildly skewed (one giant row per group of small ones)."""
+    from ner_ocr_spark.operators.balance import balance_by_cost
+
+    rows = [(i, 1000 if i % 50 == 0 else 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, cost long")
+    balanced = balance_by_cost(df, "cost", 8)
+    per_part = (
+        balanced.select(F.spark_partition_id().alias("p"), "cost")
+        .groupBy("p").agg(F.sum("cost").alias("c")).collect()
+    )
+    costs = [r["c"] for r in per_part]
+    total = sum(costs)
+    assert max(costs) <= total / 8 * 1.5  # within 50% of perfect
+    assert balanced.count() == 500
+    # approximate mode also balances (scale path, no global window)
+    approx = balance_by_cost(df, "cost", 8, approximate=True)
+    per_part2 = (
+        approx.select(F.spark_partition_id().alias("p"), "cost")
+        .groupBy("p").agg(F.sum("cost").alias("c")).collect()
+    )
+    costs2 = [r["c"] for r in per_part2]
+    assert max(costs2) <= total / 8 * 1.8
+    assert approx.count() == 500
