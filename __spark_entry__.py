@@ -314,6 +314,24 @@ def q_lsh_topk(spark, sf):  # rows-only (approximate)
     return lsh_topk(emb, queries, k=5)
 
 
+def q_embed_neardup(spark, sf):  # embedding-cosine near-dup (exact, blocked)
+    from ner_ocr_spark.operators.similarity import cosine_expr
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    l = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("bl"),
+                   F.col("e").alias("ea"))
+    r = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("br"),
+                   F.col("e").alias("eb"))
+    pairs = l.join(r, on=[F.col("bl") == F.col("br"), F.col("id_a") < F.col("id_b")])
+    cos = cosine_expr(F.col("ea"), F.col("eb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
 def q_quality_features(spark, sf):
     from ner_ocr_spark.operators.textstats import quality_features
 
@@ -509,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_candidates": q_simhash_candidates,
         "cosine_topk": q_cosine_topk,
+        "embed_neardup": q_embed_neardup,
         "lsh_topk": q_lsh_topk,
         "quality_features": q_quality_features,
         "token_count": q_token_count,
@@ -700,6 +719,20 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY cosine DESC, vec_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "embed_neardup": """
+            WITH emb AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id < 200
+            )
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                   round(list_dot_product(l.e, r.e)
+                         / (sqrt(list_dot_product(l.e, l.e))
+                            * sqrt(list_dot_product(r.e, r.e))), 4) AS cosine
+            FROM emb l JOIN emb r ON l.label = r.label AND l.vec_id < r.vec_id
+            WHERE list_dot_product(l.e, r.e)
+                  / (sqrt(list_dot_product(l.e, l.e))
+                     * sqrt(list_dot_product(r.e, r.e))) >= 0.3
         """,
         "quality_features": """
             WITH base AS (
