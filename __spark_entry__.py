@@ -495,6 +495,35 @@ def q_tpch_q1(spark, sf):  # showcase agg (bench headline)
     )
 
 
+def q_stream_metrics(spark, sf):  # Structured Streaming windowed agg
+    """Runs a REAL streaming query (file source -> watermark -> sliding
+    window agg -> memory sink, availableNow trigger) and returns the
+    drained result. Window boundaries are epoch-aligned on both engines."""
+    import uuid
+
+    from ner_ocr_spark.streaming import stream_metrics
+
+    schema = _t(spark, sf, "events").schema
+    # the streaming file source needs a directory basePath; glob-filter
+    # the single events file inside the sf dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    agg = stream_metrics(stream, window="30 minutes")
+    name = f"qsm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.unix_timestamp("win_start").alias("win_start"),
+        "event_type", "n", "v",
+    )
+
+
 def q_extraction_e2e(spark, sf):  # the engine itself, rows-only oracle
     from ner_ocr_spark import pipeline
 
@@ -541,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_json": q_entity_json,
         "image_features": q_image_features,
         "tpch_q1": q_tpch_q1,
+        "stream_metrics": q_stream_metrics,
         "extraction_e2e": q_extraction_e2e,
     }
 
@@ -833,6 +863,12 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id ASC) AS rank
                 FROM events
             ) WHERE rank <= 3
+        """,
+        "stream_metrics": """
+            SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT)
+                       AS win_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS v
+            FROM events GROUP BY 1, 2
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

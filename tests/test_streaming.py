@@ -1,0 +1,67 @@
+"""Structured Streaming tests: file-source extraction with incremental
+arrival, and watermarked window metrics."""
+
+from __future__ import annotations
+
+from ner_ocr_spark import corpus, oracle, streaming
+from tests.conftest import DOC_SCHEMA
+
+
+def _write_docs(spark, path, lo, hi):
+    rows = [
+        {"doc_id": corpus.doc_id_for(i), "spans": corpus.doc_spans(corpus.doc_id_for(i))}
+        for i in range(lo, hi)
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_extract_incremental(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(spark, inp, 0, 8)
+    q = streaming.stream_extract(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    data1 = spark.read.parquet(f"{out}/data")
+    assert data1.select("doc_id").distinct().count() == 8
+    # more files arrive; a new availableNow run picks up ONLY the new ones
+    _write_docs(spark, inp, 8, 12)
+    q2 = streaming.stream_extract(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    data2 = spark.read.parquet(f"{out}/data")
+    assert data2.select("doc_id").distinct().count() == 12
+    dups = (
+        data2.groupBy("doc_id", "span_idx", "line_idx").count()
+        .filter("count > 1").count()
+    )
+    assert dups == 0
+    # span-sequence equality holds through the streaming path
+    doc0 = corpus.doc_id_for(0)
+    rows = (
+        data2.filter(f"doc_id = '{doc0}' and error is null")
+        .orderBy("span_idx", "line_idx")
+        .select("kind", "text", "media_ref").collect()
+    )
+    want = [(s["kind"], s["text"], s["media_ref"])
+            for s in oracle.expected_spans(doc0)]
+    assert [(r["kind"], r["text"], r["media_ref"]) for r in rows] == want
+    assert spark.read.parquet(f"{out}/lineage").count() > 0
+
+
+def test_stream_metrics_windows(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev")
+    events.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = streaming.stream_metrics(stream, window="30 minutes")
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("metrics_out").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from metrics_out")
+    assert got.count() > 0
+    # totals match a plain batch aggregation
+    batch_total = events.count()
+    assert got.agg({"n": "sum"}).collect()[0][0] == batch_total
+    assert set(got.columns) == {"win_start", "win_end", "event_type", "n", "v"}
