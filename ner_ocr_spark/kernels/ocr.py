@@ -158,7 +158,12 @@ def rotate_gray(gray: np.ndarray, angle_deg: float, bg: int) -> np.ndarray:
     """Bilinear rotation of a grayscale image about the center (canvas
     expanded, background-filled). Used for the deskew correction so the
     re-binarized glyphs stay crisp (a binary nearest-neighbor rotation
-    would double the sampling error)."""
+    would double the sampling error).
+
+    Bandwidth-lean: a 1-px bg border replaces the validity mask (clipped
+    out-of-range reads hit the border and produce exact bg fill), and all
+    coordinate math is separable float32 outer sums — the kernel is
+    memory-bandwidth-bound at full core saturation."""
     if abs(angle_deg) < 1e-9:
         return gray
     h, w = gray.shape
@@ -168,30 +173,28 @@ def rotate_gray(gray: np.ndarray, angle_deg: float, bg: int) -> np.ndarray:
     nw = int(abs(w * c) + abs(h * s) + 1)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     ncy, ncx = (nh - 1) / 2.0, (nw - 1) / 2.0
-    # separable source coordinates: sy/sx are outer sums of per-row and
-    # per-column terms — avoids the mgrid float64 temporaries (the kernel
-    # is memory-bandwidth-bound at full core saturation)
     dy = (np.arange(nh, dtype=np.float32) - ncy)
     dx = (np.arange(nw, dtype=np.float32) - ncx)
     sy = (c * dy + cy)[:, None] + (s * dx)[None, :]
     sx = (-s * dy + cx)[:, None] + (c * dx)[None, :]
-    y0 = np.floor(sy).astype(np.int64)
-    x0 = np.floor(sx).astype(np.int64)
-    fy = (sy - y0).astype(np.float32)
-    fx = (sx - x0).astype(np.float32)
-    valid = (y0 >= 0) & (y0 < h - 1) & (x0 >= 0) & (x0 < w - 1)
-    y0c = np.clip(y0, 0, h - 2)
-    x0c = np.clip(x0, 0, w - 2)
-    g = gray.astype(np.float32)
+    y0 = np.floor(sy).astype(np.int32)
+    x0 = np.floor(sx).astype(np.int32)
+    fy = sy - y0
+    fx = sx - x0
+    # shift into the padded frame; clip so every access lands in-bounds
+    np.clip(y0, -1, h, out=y0)
+    np.clip(x0, -1, w, out=x0)
+    y0 += 1
+    x0 += 1
+    g = np.full((h + 3, w + 3), np.float32(bg))
+    g[1 : h + 1, 1 : w + 1] = gray
     v = (
-        g[y0c, x0c] * (1 - fy) * (1 - fx)
-        + g[y0c, x0c + 1] * (1 - fy) * fx
-        + g[y0c + 1, x0c] * fy * (1 - fx)
-        + g[y0c + 1, x0c + 1] * fy * fx
+        g[y0, x0] * (1 - fy) * (1 - fx)
+        + g[y0, x0 + 1] * (1 - fy) * fx
+        + g[y0 + 1, x0] * fy * (1 - fx)
+        + g[y0 + 1, x0 + 1] * fy * fx
     )
-    out = np.full((nh, nw), np.float32(bg))
-    out[valid] = v[valid]
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return np.clip(np.round(v, out=v), 0, 255).astype(np.uint8)
 
 
 def _bands(profile: np.ndarray, min_gap: int, min_size: int) -> list[tuple[int, int]]:
@@ -225,6 +228,10 @@ def _trim(mask: np.ndarray) -> tuple[np.ndarray, int, int]:
     return mask[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1], int(xs.min()), int(ys.min())
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
 def _edges(n_src: int, n_dst: int) -> tuple[np.ndarray, np.ndarray]:
     e = np.round(np.linspace(0, n_src, n_dst + 1)).astype(np.int64)
     lo = np.minimum(e[:-1], n_src - 1)
@@ -357,10 +364,25 @@ def ocr_page(png_bytes: bytes, max_side_limit: int = MAX_SIDE_LIMIT) -> list[Lin
     """Full kernel: decode -> resize -> Otsu -> despeckle -> deskew -> recognize."""
     gray = decode_gray(png_bytes)
     gray = bounded_resize(gray, max_side_limit)
-    mask = despeckle(binarize(gray))
+    raw = binarize(gray)
+    mask = despeckle(raw)
+    bg = int(np.median(gray))  # background dominates the page
+    # erase the despeckled-away noise from the grayscale too: bilinear
+    # rotation would smear isolated specks into small clusters that survive
+    # the post-rotation despeckle and segment as phantom lines
+    noise = raw & ~mask
+    if noise.any():
+        gray = gray.copy()
+        gray[noise] = bg
     angle = estimate_skew(mask)  # the correction angle (rotate by it to deskew)
     if abs(angle) > 1e-9:
-        bg = int(np.median(gray))  # background dominates the page
+        # crop to the ink bounding box (+2 px) first: margins would only
+        # inflate the rotated canvas and every downstream full-image pass
+        ys, xs = np.nonzero(mask)
+        if len(ys):
+            y0, y1 = max(int(ys.min()) - 2, 0), min(int(ys.max()) + 3, gray.shape[0])
+            x0, x1 = max(int(xs.min()) - 2, 0), min(int(xs.max()) + 3, gray.shape[1])
+            gray = gray[y0:y1, x0:x1]
         gray = rotate_gray(gray, angle, bg)
         mask = despeckle(binarize(gray))
     return recognize_mask(mask)
