@@ -51,20 +51,26 @@ def main() -> None:
     # warm-up pass pays python-worker spawn + whole-stage codegen compile
     # (one-time costs that amortize to zero on a long-running cluster),
     # the second pass is timed
+    def run_full(df):
+        # noop sink: forces every column's computation (count() would let
+        # Catalyst prune projections/collect_lists and under-measure)
+        df.write.format("noop").mode("overwrite").save()
+
     docs = entry.interleaved_documents(spark, SF_DIR)
     n_docs = docs.count()
-    pipeline.assemble_documents(pipeline.extract_spans(docs)).count()  # warm
+    run_full(pipeline.assemble_documents(pipeline.extract_spans(docs)))  # warm
     t0 = time.monotonic()
     out = pipeline.assemble_documents(pipeline.extract_spans(docs))
-    n_out = out.count()
+    run_full(out)
     e2e = time.monotonic() - t0
+    n_out = n_docs
     timings["extraction_e2e"] = round(e2e, 3)
 
     qs = entry.queries()
     for name in BENCH_QUERIES:
-        qs[name](spark, SF_DIR).count()  # warm (codegen compile)
+        run_full(qs[name](spark, SF_DIR))  # warm (codegen compile)
         t0 = time.monotonic()
-        qs[name](spark, SF_DIR).count()
+        run_full(qs[name](spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -81,9 +81,11 @@ def run_level(cores: int) -> dict:
     # warm python workers/codegen on a small slice, not the full job
     pipeline.assemble_documents(
         pipeline.extract_spans(docs.limit(64))
-    ).count()
+    ).write.format("noop").mode("overwrite").save()
     t0 = time.monotonic()
-    pipeline.assemble_documents(pipeline.extract_spans(docs)).count()
+    pipeline.assemble_documents(pipeline.extract_spans(docs)).write.format(
+        "noop"
+    ).mode("overwrite").save()
     wall = time.monotonic() - t0
     spark.stop()
     return {"cores": cores, "n_docs": n, "n_media": n * MEDIA_PER_DOC,
