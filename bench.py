@@ -56,22 +56,28 @@ def main() -> None:
         # Catalyst prune projections/collect_lists and under-measure)
         df.write.format("noop").mode("overwrite").save()
 
+    def best_of(make_df, reps: int = 3) -> float:
+        # single-shot second-scale timings swing 3-8x on a busy 32-core
+        # box; min-of-3 after a warm-up is the stable steady-state figure
+        run_full(make_df())  # warm (codegen compile + python workers)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            run_full(make_df())
+            best = min(best, time.monotonic() - t0)
+        return best
+
     docs = entry.interleaved_documents(spark, SF_DIR)
     n_docs = docs.count()
-    run_full(pipeline.assemble_documents(pipeline.extract_spans(docs)))  # warm
-    t0 = time.monotonic()
-    out = pipeline.assemble_documents(pipeline.extract_spans(docs))
-    run_full(out)
-    e2e = time.monotonic() - t0
+    e2e = best_of(lambda: pipeline.assemble_documents(pipeline.extract_spans(docs)))
     n_out = n_docs
     timings["extraction_e2e"] = round(e2e, 3)
 
     qs = entry.queries()
     for name in BENCH_QUERIES:
-        run_full(qs[name](spark, SF_DIR))  # warm (codegen compile)
-        t0 = time.monotonic()
-        run_full(qs[name](spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
+        timings[name] = round(
+            best_of(lambda name=name: qs[name](spark, SF_DIR)), 3
+        )
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -86,7 +92,7 @@ def main() -> None:
                 "docs_per_sec": round(n_out / e2e, 2) if e2e > 0 else None,
                 "n_docs": n_docs,
                 "cpus": CPUS,
-                "timing": "steady-state (post warm-up)",
+                "timing": "steady-state, min of 3 reps post warm-up",
             }
         )
     )

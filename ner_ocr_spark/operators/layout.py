@@ -46,10 +46,8 @@ def group_lines(
     line_id, avg_y, x-sorted text joined by 3 spaces (the reference's
     separator, /root/reference/src/pipelines/entity.py:131)."""
     doc_cols = doc_cols or ["doc_id"]
-    with_ids = sessionize(
-        regions.withColumn("_yx", F.col("y")),  # order by y (W1; x breaks ties below)
-        doc_cols, "y", line_threshold, "line_id",
-    )
+    # order by y (W1); x ordering happens inside the line via array_sort
+    with_ids = sessionize(regions, doc_cols, "y", line_threshold, "line_id")
     line_text = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct(F.col("x"), F.col("text")))),
