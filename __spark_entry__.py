@@ -13,10 +13,37 @@ both sides so the value-hash compares stably.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# the engine package lives next to this file; make imports cwd-independent
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executor python workers (addPyFile zip) so the
+    mapInPandas stages import it regardless of the driver's cwd/PYTHONPATH
+    — the spark-submit --py-files mechanism, self-applied."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = Path(tempfile.mkdtemp()) / "ner_ocr_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in (Path(_REPO) / "ner_ocr_spark").rglob("*.py"):
+            z.write(p, p.relative_to(_REPO).as_posix())
+    spark.sparkContext.addPyFile(str(zpath))
+    _SHIPPED.add(key)
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -83,6 +110,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from ner_ocr_spark import pipeline
 
+    _ensure_shipped(spark)
     docs = interleaved_documents(spark, SF_DEFAULT)
     extracted = pipeline.extract_spans(docs)
     return pipeline.assemble_documents(extracted)
@@ -421,6 +449,7 @@ def q_topk_per_group(spark, sf):  # top-K per group (OLAP pattern)
 def q_semantic_search(spark, sf):  # J3 + F2 fuzzy (rows-only: difflib UDF)
     from ner_ocr_spark.operators.search import search
 
+    _ensure_shipped(spark)
     regions = _t(spark, sf, "documents").select(
         F.col("doc_id"),
         F.lit(0).alias("page"),
@@ -460,6 +489,7 @@ def q_image_features(spark, sf):  # multimodal image decode (rows-only)
     from ner_ocr_spark.operators.multimodal import MEDIA_SCHEMA, image_features
     from ner_ocr_spark.operators.extract import OCR_SCHEMA  # noqa: F401
 
+    _ensure_shipped(spark)
     refs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40).select(
         F.concat(F.lit("imgq/"), F.col("doc_id").cast("string")).alias("media_ref")
     )
@@ -527,6 +557,7 @@ def q_stream_metrics(spark, sf):  # Structured Streaming windowed agg
 def q_extraction_e2e(spark, sf):  # the engine itself, rows-only oracle
     from ner_ocr_spark import pipeline
 
+    _ensure_shipped(spark)
     docs = interleaved_documents(spark, sf)
     out = pipeline.extract_spans(docs, with_ner=True)
     return out.select(
