@@ -525,6 +525,21 @@ def q_tpch_q1(spark, sf):  # showcase agg (bench headline)
     )
 
 
+def q_extraction_text_branch(spark, sf):
+    """The engine's text branch, value-verified: interleave -> explode ->
+    normalize -> blank-filter, reproduced in ANSI SQL. (The media branch
+    needs the OCR kernel -> covered by the rows-only extraction_e2e and the
+    pytest span-equality oracle.)"""
+    from ner_ocr_spark import pipeline
+
+    docs = interleaved_documents(spark, sf)
+    return (
+        pipeline.extract_spans(docs, with_ner=False)
+        .filter(F.col("kind") == "text")
+        .select("doc_id", "span_idx", "text")
+    )
+
+
 def q_stream_metrics(spark, sf):  # Structured Streaming windowed agg
     """Runs a REAL streaming query (file source -> watermark -> sliding
     window agg -> memory sink, availableNow trigger) and returns the
@@ -601,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_json": q_entity_json,
         "image_features": q_image_features,
         "tpch_q1": q_tpch_q1,
+        "extraction_text_branch": q_extraction_text_branch,
         "stream_metrics": q_stream_metrics,
         "extraction_e2e": q_extraction_e2e,
     }
@@ -894,6 +910,29 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id ASC) AS rank
                 FROM events
             ) WHERE rank <= 3
+        """,
+        "extraction_text_branch": """
+            WITH base AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       string_split_regex(trim(text), '\\s+') AS words
+                FROM documents
+            ), chunked AS (
+                SELECT doc_id,
+                       CAST(i - 1 AS INT) AS span_idx,
+                       array_to_string(words[(i-1)*8+1 : (i-1)*8+8], ' ') AS piece
+                FROM base, LATERAL (
+                    SELECT unnest(range(1, greatest(CAST(ceil(len(words)/8.0) AS INT), 1) + 1)) AS i
+                ) t
+            )
+            SELECT doc_id, span_idx,
+                   trim(regexp_replace(regexp_replace(regexp_replace(piece,
+                        '\\[\\[.*?\\]\\]', '', 'g'),
+                        '[ \t]+', ' ', 'g'),
+                        ' ?\n ?', chr(10), 'g')) AS text
+            FROM chunked
+            WHERE length(trim(regexp_replace(regexp_replace(piece,
+                        '\\[\\[.*?\\]\\]', '', 'g'),
+                        '[ \t]+', ' ', 'g'))) > 0
         """,
         "stream_metrics": """
             SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT)
