@@ -525,6 +525,66 @@ def q_tpch_q1(spark, sf):  # showcase agg (bench headline)
     )
 
 
+def q_pivot(spark, sf):  # pivot/unpivot (OLAP pattern)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+def q_rollup(spark, sf):  # rollup aggregation
+    return (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty", "n",
+        )
+    )
+
+
+def q_asof_join(spark, sf):  # as-of: latest prior 'view' per 'click', per user
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("epoch")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("epoch")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prior_view_epoch", prior_view)
+        .filter(F.col("event_type") == "click")
+        # nullable BIGINT becomes float64 in pandas (oracle compare side);
+        # -1 sentinel keeps the column integral on both engines
+        .select("user_id", "event_id",
+                F.coalesce("prior_view_epoch", F.lit(-1)).alias("prior_view_epoch"))
+    )
+
+
+def q_set_ops(spark, sf):  # union/intersect/except
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        a.intersect(b).withColumn("src", F.lit("both"))
+        .unionByName(a.exceptAll(b).withColumn("src", F.lit("pos_only")))
+    )
+
+
 def q_extraction_text_branch(spark, sf):
     """The engine's text branch, value-verified: interleave -> explode ->
     normalize -> blank-filter, reproduced in ANSI SQL. (The media branch
@@ -616,6 +676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_json": q_entity_json,
         "image_features": q_image_features,
         "tpch_q1": q_tpch_q1,
+        "pivot": q_pivot,
+        "rollup": q_rollup,
+        "asof_join": q_asof_join,
+        "set_ops": q_set_ops,
         "extraction_text_branch": q_extraction_text_branch,
         "stream_metrics": q_stream_metrics,
         "extraction_e2e": q_extraction_e2e,
@@ -910,6 +974,41 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id ASC) AS rank
                 FROM events
             ) WHERE rank <= 3
+        """,
+        "pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "asof_join": """
+            SELECT user_id, event_id, coalesce(prior_view_epoch, -1) AS prior_view_epoch FROM (
+                SELECT user_id, event_id, event_type,
+                       last_value(CASE WHEN event_type = 'view'
+                                       THEN CAST(floor(epoch(ts)) AS BIGINT) END
+                                  IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY epoch(ts), event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS prior_view_epoch
+                FROM events
+            ) WHERE event_type = 'click'
+        """,
+        "set_ops": """
+            WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0),
+                 b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+            SELECT c_custkey, 'both' AS src FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+            UNION ALL
+            SELECT c_custkey, 'pos_only' AS src FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
         """,
         "extraction_text_branch": """
             WITH base AS (
