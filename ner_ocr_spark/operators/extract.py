@@ -33,6 +33,15 @@ OCR_SCHEMA = T.StructType(
     ]
 )
 
+def ocr_ner_schema() -> T.StructType:
+    """OCR_SCHEMA + the NER columns (fused-stage output)."""
+    return T.StructType(
+        list(OCR_SCHEMA.fields)
+        + [T.StructField("entities", ENTITY_TYPE, True),
+           T.StructField("bio", T.StringType(), True)]
+    )
+
+
 ENTITY_TYPE = T.ArrayType(
     T.StructType(
         [
@@ -51,6 +60,7 @@ def make_ocr_stage(
     max_side_limit: int = 1500,
     min_score: float | None = None,
     refine_below: float | None = None,
+    gazetteer: list[tuple[str, str]] | None = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Build the OCR mapInPandas function.
 
@@ -66,18 +76,43 @@ def make_ocr_stage(
     batch_timeout_s mirrors the reference's 400 s OCR budget
     (/root/reference/config.yaml:3): on breach, remaining rows in the batch
     emit timeout-error rows instead of running.
+
+    When `gazetteer` is given, the stage also normalizes each recognized
+    line (python twin of operators/normalize.normalize_expr — pinned equal
+    by tests) and appends entities/bio columns: media rows then cross the
+    Python boundary exactly ONCE (OCR+normalize+NER fused) instead of
+    OCR -> JVM normalize -> second python NER hop.
     """
     from ner_ocr_spark import corpus
     from ner_ocr_spark.kernels import ocr
+    from ner_ocr_spark.kernels.normalize import normalize_text
 
     resolver = blob_resolver or (lambda ref: corpus.render_media_blob(ref))
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tagger = None
+        if gazetteer is not None:
+            from ner_ocr_spark.kernels.ner import GazetteerTagger
+
+            tagger = GazetteerTagger(gazetteer)
+        cols = list(OCR_SCHEMA.fieldNames())
+        if tagger is not None:
+            cols += ["entities", "bio"]
         for pdf in batches:
             t0 = time.monotonic()
-            out: dict[str, list] = {k: [] for k in OCR_SCHEMA.fieldNames()}
+            out: dict[str, list] = {k: [] for k in cols}
 
             def emit(doc_id, span_idx, line_idx, text, media_ref, box, score, error):
+                if tagger is not None:
+                    text = normalize_text(text)
+                    if not text and error is None:
+                        return  # blank-after-normalize filter (fused)
+                    ents, bio = tagger.tag(text or "")
+                    out["entities"].append(
+                        [{"entity_type": e.entity_type, "surface": e.surface,
+                          "start": e.start, "end": e.end} for e in ents]
+                    )
+                    out["bio"].append(bio)
                 out["doc_id"].append(doc_id)
                 out["span_idx"].append(span_idx)
                 out["line_idx"].append(line_idx)

@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ner_ocr_spark import corpus as corpus_mod
-from ner_ocr_spark.operators.extract import OCR_SCHEMA, make_ner_stage, make_ocr_stage
+from ner_ocr_spark.operators.extract import (
+    OCR_SCHEMA,
+    make_ner_stage,
+    make_ocr_stage,
+    ocr_ner_schema,
+)
 from ner_ocr_spark.operators.normalize import normalize_expr
 
 SPAN_COLS = ["doc_id", "span_idx", "line_idx", "kind", "text", "media_ref",
@@ -109,24 +114,33 @@ def extract_spans(
         # (doc_id, span_idx) hash-spread = salted repartition: a
         # 1000-media-span doc lands on ~all partitions, not one straggler
         media = media.repartition(n_part, "doc_id", "span_idx")
-    # refinement happens INSIDE the OCR stage (per-page, score-gated): a
-    # filter-fork into a second mapInPandas would re-execute the whole OCR
-    # plan on both branches (or force a persist) — in-stage keeps it one
-    # pass, each low-score page refined exactly once (§4.3.4)
+    # refinement AND (when with_ner) normalize+NER happen INSIDE the OCR
+    # stage: a filter-fork into a second mapInPandas would re-execute the
+    # whole OCR plan on both branches, and a separate NER stage would make
+    # media rows cross the Python boundary twice (§4.3.4; each page
+    # refined exactly once, each row tagged exactly once)
+    gaz = gazetteer if gazetteer is not None else corpus_mod.GAZETTEER
+    if with_ner:
+        ocr_rows = media.mapInPandas(
+            make_ocr_stage(blob_resolver, refine_below=refine_below, gazetteer=gaz),
+            ocr_ner_schema(),
+        )
+        # normalize + blank-filter already applied in-stage (python twin)
+        media_branch = ocr_rows.filter(
+            (F.length("text") > 0) | F.col("error").isNotNull()
+        )
+        ner_fn, ner_schema = make_ner_stage(gaz, passthrough=text_branch.schema)
+        text_tagged = text_branch.mapInPandas(ner_fn, ner_schema)
+        return text_tagged.unionByName(media_branch).select(
+            *SPAN_COLS, "entities", "bio"
+        )
     ocr_rows = media.mapInPandas(
         make_ocr_stage(blob_resolver, refine_below=refine_below), OCR_SCHEMA
     )
     media_branch = ocr_rows.withColumn("text", normalize_expr(F.col("text"))).filter(
         (F.length("text") > 0) | F.col("error").isNotNull()
     )
-
-    merged = text_branch.unionByName(media_branch).select(*SPAN_COLS)
-
-    if not with_ner:
-        return merged
-    gaz = gazetteer if gazetteer is not None else corpus_mod.GAZETTEER
-    ner_fn, ner_schema = make_ner_stage(gaz, passthrough=merged.schema)
-    return merged.mapInPandas(ner_fn, ner_schema)
+    return text_branch.unionByName(media_branch).select(*SPAN_COLS)
 
 
 def assemble_documents(extracted: DataFrame) -> DataFrame:
