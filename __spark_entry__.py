@@ -525,6 +525,15 @@ def q_tpch_q1(spark, sf):  # showcase agg (bench headline)
     )
 
 
+def q_percentiles(spark, sf):  # exact quantiles per group
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
 def q_pivot(spark, sf):  # pivot/unpivot (OLAP pattern)
     types = ["click", "view", "purchase", "signup", "error"]
     return (
@@ -676,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_json": q_entity_json,
         "image_features": q_image_features,
         "tpch_q1": q_tpch_q1,
+        "percentiles": q_percentiles,
         "pivot": q_pivot,
         "rollup": q_rollup,
         "asof_join": q_asof_join,
@@ -974,6 +984,13 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id ASC) AS rank
                 FROM events
             ) WHERE rank <= 3
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+            FROM lineitem GROUP BY l_returnflag
         """,
         "pivot": """
             SELECT user_id,

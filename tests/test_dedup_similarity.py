@@ -1,0 +1,83 @@
+"""Semantic unit tests for dedup/similarity operators — known inputs with
+hand-computable expectations (beyond the driver's oracle/rows checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ner_ocr_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from ner_ocr_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight")
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1 (after normalization)
+        (3, "  THE  QUICK brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight "),  # normalizes to BASE
+        (4, BASE.replace("tonight", "tomorrow")),  # near-dup of 1
+        (5, "completely different words about spark catalyst tungsten "
+            "arrow shuffle partitions and adaptive query execution"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = {r["doc_id"]: r["n_dups"] for r in exact_dedup(_docs(spark)).collect()}
+    # 1,2,3 collapse (case/whitespace-normalized); 4 and 5 stand alone
+    assert out == {1: 3, 4: 1, 5: 1}
+
+
+def test_minhash_finds_near_dup_pair(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    near = pairs.get((1, 4))
+    assert near is not None and 0.3 <= near < 1.0
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_hamming_zero_for_dups(spark):
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_candidates(_docs(spark), prefix_bits=4).collect()}
+    assert out.get((1, 2)) == 0
+    assert out.get((1, 3)) == 0
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = _docs(spark).withColumn("block", F.lit("x"))
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, n=1, group_col="block").collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] == 1.0
+    # doc4 replaces 1 distinct word of 17: J = 16/18
+    assert abs(out[(1, 4)] - round(16 / 18, 4)) < 1e-9
+    assert out[(1, 5)] < 0.1
+
+
+def test_topk_self_is_best_and_lsh_agrees(spark):
+    import math
+
+    vecs = []
+    for i in range(30):
+        v = [math.cos(0.1 * i * (j + 1)) for j in range(8)]
+        vecs.append((i, v))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 7").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = brute_force_topk(emb, q, k=3)
+    rows = sorted(bf.collect(), key=lambda r: r["rank"])
+    assert rows[0]["vec_id"] == 7 and rows[0]["cosine"] == 1.0
+    approx = lsh_topk(emb, q, k=3, dim=8, n_planes=4).collect()
+    assert any(r["vec_id"] == 7 and r["rank"] == 1 for r in approx)
