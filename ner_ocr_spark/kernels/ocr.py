@@ -263,6 +263,29 @@ def _edges(n_src: int, n_dst: int) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
+def _resample_shifted(cell: np.ndarray, dy: float, dx: float) -> np.ndarray:
+    """Resample with a fractional grid shift (sub-pixel alignment probe for
+    near-tie disambiguation). Shifts the block edges by (dy, dx) source
+    pixels, clamped to valid bounds."""
+    h, w = cell.shape
+    ye = np.clip(np.round(np.linspace(0, h, _MATCH_H + 1) + dy).astype(np.int64), 0, h)
+    xe = np.clip(np.round(np.linspace(0, w, _MATCH_W + 1) + dx).astype(np.int64), 0, w)
+    y0 = np.minimum(ye[:-1], h - 1)
+    y1 = np.maximum(np.minimum(ye[1:], h), y0 + 1)
+    x0 = np.minimum(xe[:-1], w - 1)
+    x1 = np.maximum(np.minimum(xe[1:], w), x0 + 1)
+    sat = np.zeros((h + 1, w + 1), dtype=np.float32)
+    sat[1:, 1:] = cell.astype(np.float32).cumsum(0).cumsum(1)
+    s = (
+        sat[y1[:, None], x1[None, :]]
+        - sat[y0[:, None], x1[None, :]]
+        - sat[y1[:, None], x0[None, :]]
+        + sat[y0[:, None], x0[None, :]]
+    )
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return s / area
+
+
 def _resample_to_template(cell: np.ndarray) -> np.ndarray:
     """Block-mean resample an arbitrary-size glyph crop to the match grid.
     Fully vectorized: summed-area table + fancy-indexed block sums (the
@@ -296,7 +319,12 @@ def _build_templates() -> tuple[np.ndarray, np.ndarray]:
 _TPL_FLAT, _TPL_ONES = None, None  # type: ignore[assignment]
 
 
-def classify_glyphs(glyphs: np.ndarray) -> tuple[list[str], np.ndarray]:
+_TIE_MARGIN = 3.0  # d2 gap under which a sub-pixel vote re-checks the call
+
+
+def classify_glyphs(
+    glyphs: np.ndarray, raw_cells: list[np.ndarray] | None = None
+) -> tuple[list[str], np.ndarray]:
     """Nearest-template classification, vectorized over a (n, 14, 10) float
     stack (ink fractions in [0,1]). Soft L2 distance — tolerates the partial
     pixels a deskew resample leaves — computed as one matmul against all
@@ -315,8 +343,28 @@ def classify_glyphs(glyphs: np.ndarray) -> tuple[list[str], np.ndarray]:
     )
     best = np.argmin(d2, axis=1)
     n_px = g.shape[1]
+    chars = [_CHARS[i] for i in best]
+    if raw_cells is not None:
+        # near-tie disambiguation: when the runner-up is within _TIE_MARGIN,
+        # re-vote under small fractional grid shifts — the true glyph wins
+        # more alignments than a smear artifact does
+        order = np.argsort(d2, axis=1)
+        for i in range(len(g)):
+            a, b = order[i, 0], order[i, 1]
+            if d2[i, b] - d2[i, a] >= _TIE_MARGIN:
+                continue
+            votes = {a: 0, b: 0}
+            for dy in (-0.34, 0.0, 0.34):
+                for dx in (-0.34, 0.0, 0.34):
+                    r = _resample_shifted(raw_cells[i], dy, dx).ravel().astype(np.float32)
+                    da = ((r - _TPL_FLAT[a]) ** 2).sum()
+                    db = ((r - _TPL_FLAT[b]) ** 2).sum()
+                    votes[a if da <= db else b] += 1
+            if votes[b] > votes[a]:
+                chars[i] = _CHARS[b]
+                best[i] = b
     scores = 1.0 - d2[np.arange(len(g)), best] / n_px
-    return [_CHARS[i] for i in best], np.clip(scores, 0.0, 1.0).astype(np.float32)
+    return chars, np.clip(scores, 0.0, 1.0).astype(np.float32)
 
 
 def segment_cells(line_mask: np.ndarray, scale_hint: float) -> list[tuple[int, int, bool]]:
@@ -357,6 +405,7 @@ def recognize_mask(mask: np.ndarray) -> list[LineResult]:
         min_ink = max(2.0 * scale_hint, 2.0)
         kept_cells: list[tuple[int, int]] = []
         robust_count = max(2, int(round(scale_hint / 2.0)))
+        raw_cells: list[np.ndarray] = []
         for x0, x1, space in cells:
             cell = trimmed[:, x0:x1]
             if int(cell.sum()) < min_ink:
@@ -365,11 +414,12 @@ def recognize_mask(mask: np.ndarray) -> list[LineResult]:
             if cy.size == 0:
                 continue
             crops.append(_resample_to_template(cy))
+            raw_cells.append(cy)
             spaces.append(space)
             kept_cells.append((x0, x1))
         if not crops:
             continue
-        chars, scores = classify_glyphs(np.stack(crops))
+        chars, scores = classify_glyphs(np.stack(crops), raw_cells=raw_cells)
         pieces: list[str] = []
         for ch, space in zip(chars, spaces):
             if space:

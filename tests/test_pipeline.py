@@ -114,9 +114,8 @@ def test_heavy_doc_e2e(spark):
         .select(F.spark_partition_id().alias("p")).distinct().count()
     )
     assert parts >= 4
-    # order is EXACT; content is >=99% line-exact (single-glyph confusions
-    # at extreme rotation occur at ~0.25%/page on this synthetic family —
-    # D/O corner erosion at |angle| ~ 5 deg; the official corpus is exact)
+    # order AND content exact (near-tie sub-pixel vote resolved the last
+    # D/O confusion at |angle| ~ 5 deg)
     out = pipeline.assemble_documents(extracted)
     mega = {r["doc_id"]: r["spans"] for r in out.collect()}["mega"]
     media_texts = [s["text"] for s in mega if s["kind"] == "media"]
@@ -128,7 +127,5 @@ def test_heavy_doc_e2e(spark):
                 t = normalize_text(line)
                 if t:
                     want.append(t)
-    assert len(media_texts) == len(want)  # order/shape exact
-    exact = sum(1 for a, b in zip(media_texts, want) if a == b)
-    assert exact / len(want) >= 0.99
+    assert media_texts == want
     extracted.unpersist()
