@@ -268,7 +268,12 @@ def q_json_extract(spark, sf):  # F6 JSON -> typed value with null fallback
     return (
         ev.withColumn("k", F.nullif(k, F.lit("")).cast("int"))
         .groupBy("event_type")
-        .agg(F.sum("k").alias("k_sum"), F.count("k").alias("k_cnt"))
+        # -1 sentinel: an all-null group would make the sum a nullable
+        # BIGINT, which pandas renders float64 on the compare side
+        .agg(
+            F.coalesce(F.sum("k"), F.lit(-1)).cast("long").alias("k_sum"),
+            F.count("k").alias("k_cnt"),
+        )
     )
 
 
@@ -594,6 +599,28 @@ def q_set_ops(spark, sf):  # union/intersect/except
     )
 
 
+def q_refine_coalesce(spark, sf):  # P4 over (transformer_text, text) for real
+    """refined_text_expr semantics, value-checked: the enhanced text wins
+    only when it normalizes non-blank (NULL / whitespace / boilerplate-only
+    transformer outputs all fall back to the first-pass text)."""
+    from ner_ocr_spark.operators.normalize import refined_text_expr
+
+    docs = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    t_enh = (
+        F.when(m == 0, F.lit(None).cast("string"))
+        .when(m == 1, F.lit("  \n "))
+        .when(m == 2, F.concat(F.lit("[["), F.substring("text", 1, 8), F.lit("]]")))
+        .otherwise(F.concat(F.lit("ENH  "), F.substring("text", 1, 15)))
+    )
+    t_ocr = F.when(F.col("n_chars") % 5 == 0, F.lit(None).cast("string")).otherwise(
+        F.substring("text", 5, 20)
+    )
+    return docs.select(
+        "doc_id", refined_text_expr(t_enh, t_ocr).alias("final_text")
+    )
+
+
 def q_extraction_text_branch(spark, sf):
     """The engine's text branch, value-verified: interleave -> explode ->
     normalize -> blank-filter, reproduced in ANSI SQL. (The media branch
@@ -690,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "asof_join": q_asof_join,
         "set_ops": q_set_ops,
+        "refine_coalesce": q_refine_coalesce,
         "extraction_text_branch": q_extraction_text_branch,
         "stream_metrics": q_stream_metrics,
         "extraction_e2e": q_extraction_e2e,
@@ -761,31 +789,37 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(substr(text, 1, 10), ' | ' ORDER BY doc_id) AS line_text
             FROM documents GROUP BY lang
         """,
+        # integer sum() in DuckDB returns HUGEINT, which pandas renders as
+        # float64 ("3.0" vs Spark's "3" in the value hash) -> CAST to BIGINT.
+        # Windows order by floor(epoch(ts)) to match Spark's truncating
+        # unix_timestamp if sub-second timestamps ever appear.
         "sessionize": """
             SELECT user_id, event_id,
-                   sum(flag) OVER (PARTITION BY user_id ORDER BY epoch, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY epoch, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM (
                 SELECT user_id, event_id, epoch,
                        CASE WHEN lag_e IS NULL OR epoch - lag_e <= 1800
                             THEN 0 ELSE 1 END AS flag
                 FROM (
-                    SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS epoch,
-                           lag(CAST(epoch(ts) AS BIGINT)) OVER
-                               (PARTITION BY user_id ORDER BY epoch(ts), event_id) AS lag_e
+                    SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+                           lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                               (PARTITION BY user_id
+                                ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS lag_e
                     FROM events
                 )
             )
         """,
         "paragraph_gap": """
-            SELECT user_id, sum(flag) + 1 AS n_paragraphs
+            SELECT user_id, CAST(sum(flag) + 1 AS BIGINT) AS n_paragraphs
             FROM (
                 SELECT user_id,
                        CASE WHEN epoch - lag_e > 3600 THEN 1 ELSE 0 END AS flag
                 FROM (
-                    SELECT user_id, CAST(epoch(ts) AS BIGINT) AS epoch,
-                           lag(CAST(epoch(ts) AS BIGINT)) OVER
-                               (PARTITION BY user_id ORDER BY epoch(ts), event_id) AS lag_e
+                    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+                           lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                               (PARTITION BY user_id
+                                ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS lag_e
                     FROM events
                 )
             ) GROUP BY user_id
@@ -823,7 +857,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_type,
-                   sum(CAST(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT)) AS k_sum,
+                   coalesce(CAST(sum(CAST(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT)) AS BIGINT), -1) AS k_sum,
                    count(CAST(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT)) AS k_cnt
             FROM events GROUP BY event_type
         """,
@@ -1014,7 +1048,7 @@ def oracle_sql() -> dict[str, str]:
                                        THEN CAST(floor(epoch(ts)) AS BIGINT) END
                                   IGNORE NULLS)
                            OVER (PARTITION BY user_id
-                                 ORDER BY epoch(ts), event_id
+                                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                            AS prior_view_epoch
                 FROM events
@@ -1026,6 +1060,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, 'both' AS src FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
             UNION ALL
             SELECT c_custkey, 'pos_only' AS src FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        """,
+        "refine_coalesce": """
+            WITH cand AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0 THEN NULL
+                            WHEN doc_id % 4 = 1 THEN '  ' || chr(10) || ' '
+                            WHEN doc_id % 4 = 2 THEN '[[' || substr(text, 1, 8) || ']]'
+                            ELSE 'ENH  ' || substr(text, 1, 15) END AS t_enh,
+                       CASE WHEN n_chars % 5 = 0 THEN NULL
+                            ELSE substr(text, 5, 20) END AS t_ocr
+                FROM documents
+            ), normed AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                           coalesce(t_enh, ''),
+                           '\\[\\[.*?\\]\\]', '', 'g'), '[ \t]+', ' ', 'g'),
+                           ' ?\n ?', chr(10), 'g'),
+                           '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') AS n_enh,
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                           coalesce(t_ocr, ''),
+                           '\\[\\[.*?\\]\\]', '', 'g'), '[ \t]+', ' ', 'g'),
+                           ' ?\n ?', chr(10), 'g'),
+                           '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') AS n_ocr
+                FROM cand
+            )
+            SELECT doc_id,
+                   coalesce(nullif(n_enh, ''), nullif(n_ocr, ''), '') AS final_text
+            FROM normed
         """,
         "extraction_text_branch": """
             WITH base AS (
@@ -1041,14 +1103,16 @@ def oracle_sql() -> dict[str, str]:
                 ) t
             )
             SELECT doc_id, span_idx,
-                   trim(regexp_replace(regexp_replace(regexp_replace(piece,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(piece,
                         '\\[\\[.*?\\]\\]', '', 'g'),
                         '[ \t]+', ' ', 'g'),
-                        ' ?\n ?', chr(10), 'g')) AS text
+                        ' ?\n ?', chr(10), 'g'),
+                        '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') AS text
             FROM chunked
-            WHERE length(trim(regexp_replace(regexp_replace(piece,
+            WHERE length(regexp_replace(regexp_replace(regexp_replace(piece,
                         '\\[\\[.*?\\]\\]', '', 'g'),
-                        '[ \t]+', ' ', 'g'))) > 0
+                        '[ \t]+', ' ', 'g'),
+                        '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) > 0
         """,
         "stream_metrics": """
             SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT)

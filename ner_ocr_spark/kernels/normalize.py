@@ -16,6 +16,10 @@ import re
 _BOILER = re.compile(r"\[\[.*?\]\]")
 _SPACES = re.compile(r"[ \t]+")
 _NL_PAD = re.compile(r" ?\n ?")
+# same explicit edge class as operators/normalize.EDGE_WS: str.strip() with
+# no args strips unicode whitespace (\xa0 etc) that Java/RE2 \s-style
+# classes never match — the pinned class keeps the twins byte-identical
+_EDGE = re.compile(r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$")
 
 
 def normalize_text(text: str | None) -> str:
@@ -26,4 +30,4 @@ def normalize_text(text: str | None) -> str:
     t = _BOILER.sub("", text)
     t = _SPACES.sub(" ", t)
     t = _NL_PAD.sub("\n", t)
-    return t.strip()
+    return _EDGE.sub("", t)

@@ -285,12 +285,16 @@ def ngram_jaccard_pairs(
     l, r = base.alias("l"), base.alias("r")
     inter = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams")))
     union = F.size(F.array_union(F.col("l.grams"), F.col("r.grams")))
+    raw = inter.cast("double") / union
+    # filter on the RAW ratio, round only in the projection — filtering on
+    # the rounded value includes pairs in [threshold-5e-5, threshold) that
+    # an exact-threshold consumer (and the oracle SQL) excludes
     return (
         l.join(r, on=[F.col("l.block") == F.col("r.block"),
                       F.col("l.id") < F.col("r.id")])
+        .filter(raw >= threshold)
         .select(
             F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            F.round(raw, 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )

@@ -18,7 +18,11 @@ import pandas as pd
 
 from pyspark.sql import types as T
 
-# one row per recognized OCR line (reference OCRResult analog, long form)
+# one row per recognized OCR line (reference OCRResult analog, long form).
+# transformer_text/transformer_score carry the enhancement second pass
+# SEPARATELY from the first-pass text/score, mirroring OCRResult's dual
+# columns (/root/reference/src/custom_types/data.py:20-21) so the P4
+# coalesce downstream is real, not a no-op.
 OCR_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -29,6 +33,8 @@ OCR_SCHEMA = T.StructType(
         T.StructField("media_ref", T.StringType(), True),
         T.StructField("box", T.ArrayType(T.DoubleType()), True),
         T.StructField("score", T.DoubleType(), True),
+        T.StructField("transformer_text", T.StringType(), True),
+        T.StructField("transformer_score", T.DoubleType(), True),
         T.StructField("error", T.StringType(), True),
     ]
 )
@@ -102,17 +108,28 @@ def make_ocr_stage(
             t0 = time.monotonic()
             out: dict[str, list] = {k: [] for k in cols}
 
-            def emit(doc_id, span_idx, line_idx, text, media_ref, box, score, error):
+            def emit(doc_id, span_idx, line_idx, text, media_ref, box, score,
+                     error, t_text=None, t_score=None):
                 if tagger is not None:
-                    text = normalize_text(text)
-                    if not text and error is None:
-                        return  # blank-after-normalize filter (fused)
-                    ents, bio = tagger.tag(text or "")
-                    out["entities"].append(
-                        [{"entity_type": e.entity_type, "surface": e.surface,
-                          "start": e.start, "end": e.end} for e in ents]
-                    )
-                    out["bio"].append(bio)
+                    if error is not None:
+                        # error rows are mode-invariant: no normalization,
+                        # no tagging — text/entities/bio stay NULL exactly
+                        # as the non-fused path leaves them
+                        out["entities"].append(None)
+                        out["bio"].append(None)
+                    else:
+                        # P4 for real: the enhanced text wins when it
+                        # normalizes non-blank (python twin of
+                        # operators/normalize.refined_text_expr)
+                        text = normalize_text(t_text) or normalize_text(text)
+                        if not text:
+                            return  # blank-after-normalize filter (fused)
+                        ents, bio = tagger.tag(text)
+                        out["entities"].append(
+                            [{"entity_type": e.entity_type, "surface": e.surface,
+                              "start": e.start, "end": e.end} for e in ents]
+                        )
+                        out["bio"].append(bio)
                 out["doc_id"].append(doc_id)
                 out["span_idx"].append(span_idx)
                 out["line_idx"].append(line_idx)
@@ -121,6 +138,8 @@ def make_ocr_stage(
                 out["media_ref"].append(media_ref)
                 out["box"].append(box)
                 out["score"].append(score)
+                out["transformer_text"].append(t_text)
+                out["transformer_score"].append(t_score)
                 out["error"].append(error)
 
             has_png = "image_png" in pdf.columns
@@ -132,22 +151,33 @@ def make_ocr_stage(
                 try:
                     png = row.image_png if has_png else resolver(row.media_ref)
                     lines = ocr.ocr_page(bytes(png), max_side_limit)
+                    t_lines = None
                     if refine_below is not None and lines and any(
                         lr.score < refine_below for lr in lines
                     ):
                         # M2 analog: score-gated second pass with a finer
-                        # deskew grid; keep the better-scoring line text
-                        lines = _refine_page(
-                            bytes(png), lines, max_side_limit, ocr
-                        )
+                        # deskew grid; results ride transformer_text/score
+                        # per line (never overwrite the first pass)
+                        t_lines = _second_pass(bytes(png), max_side_limit, ocr)
+                        if t_lines is not None and len(t_lines) != len(lines):
+                            # segmentation changed -> per-line alignment is
+                            # undefined; keep whichever whole pass scored
+                            # higher as the first pass, attach no transformer
+                            s1 = sum(lr.score for lr in lines) / max(len(lines), 1)
+                            s2 = sum(lr.score for lr in t_lines) / max(len(t_lines), 1)
+                            if s2 > s1:
+                                lines = t_lines
+                            t_lines = None
                     if not lines:
                         emit(row.doc_id, int(row.span_idx), 0, None,
                              row.media_ref, None, 0.0, None)
                     for li, lr in enumerate(lines):
                         if min_score is not None and lr.score < min_score:
                             continue
+                        tt = t_lines[li].text if t_lines is not None else None
+                        ts = float(t_lines[li].score) if t_lines is not None else None
                         emit(row.doc_id, int(row.span_idx), li, lr.text,
-                             row.media_ref, lr.box, float(lr.score), None)
+                             row.media_ref, lr.box, float(lr.score), None, tt, ts)
                 except Exception as e:  # noqa: BLE001 — M6 row-level absorption
                     emit(row.doc_id, int(row.span_idx), 0, None, row.media_ref,
                          None, None, f"{type(e).__name__}: {e}")
@@ -156,10 +186,10 @@ def make_ocr_stage(
     return stage
 
 
-def _refine_page(png: bytes, first_pass, max_side_limit: int, ocr):
-    """Fine-step re-recognition; per-line keep the higher-scoring text
-    (reference TrOCR enhancement semantics: enhance once, prefer the
-    enhanced result, /root/reference/src/ui/app.py:525-538)."""
+def _second_pass(png: bytes, max_side_limit: int, ocr):
+    """Fine-step re-recognition (reference TrOCR enhancement analog,
+    /root/reference/src/ui/app.py:525-538). Returns the refined line list,
+    or None on failure (caller keeps the first pass — error absorption)."""
     import numpy as np
 
     try:
@@ -169,15 +199,9 @@ def _refine_page(png: bytes, first_pass, max_side_limit: int, ocr):
         if abs(angle) > 1e-9:
             gray = ocr.rotate_gray(gray, angle, int(np.median(gray)))
             mask = ocr.despeckle(ocr.binarize(gray))
-        second = ocr.recognize_mask(mask)
+        return ocr.recognize_mask(mask)
     except Exception:  # noqa: BLE001 — keep the first pass on failure
-        return first_pass
-    if len(second) != len(first_pass):
-        # line segmentation changed; trust whichever pass scored higher
-        s1 = sum(lr.score for lr in first_pass) / max(len(first_pass), 1)
-        s2 = sum(lr.score for lr in second) / max(len(second), 1)
-        return second if s2 > s1 else first_pass
-    return [b if b.score > a.score else a for a, b in zip(first_pass, second)]
+        return None
 
 
 def make_refine_stage(
@@ -187,11 +211,14 @@ def make_refine_stage(
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Second-pass refinement (reference M2 / TrOCR analog,
     /root/reference/src/transformer_ocr.py:189-283): re-recognize a page
-    with a finer deskew grid and keep the better-scoring line text. The
-    caller filters to low-score rows first (two-pass enhancement pruning,
-    SURVEY.md §4.3.4 — each region enhanced exactly ONCE, unlike the
-    reference CLI's accidental O(k^2) loop). Input/output: OCR_SCHEMA rows.
-    Failures keep the first-pass row (error absorption)."""
+    with a finer deskew grid and record the result in transformer_text /
+    transformer_score (never overwriting the first pass — OCRResult carries
+    both, /root/reference/src/custom_types/data.py:20-21; downstream P4
+    coalesce picks the winner). The caller filters to low-score rows first
+    (two-pass enhancement pruning, SURVEY.md §4.3.4 — each region enhanced
+    exactly ONCE, unlike the reference CLI's accidental O(k^2) loop).
+    Input/output: OCR_SCHEMA rows. Failures keep the first-pass row
+    (error absorption)."""
     from ner_ocr_spark import corpus
     from ner_ocr_spark.kernels import ocr
 
@@ -224,12 +251,9 @@ def make_refine_stage(
                 ref = pdf.at[i, "media_ref"]
                 li = int(pdf.at[i, "line_idx"])
                 lines = refined_lines(ref)
-                if li < len(lines) and (
-                    pdf.at[i, "score"] is None
-                    or lines[li].score > float(pdf.at[i, "score"])
-                ):
-                    pdf.at[i, "text"] = lines[li].text
-                    pdf.at[i, "score"] = float(lines[li].score)
+                if li < len(lines):
+                    pdf.at[i, "transformer_text"] = lines[li].text
+                    pdf.at[i, "transformer_score"] = float(lines[li].score)
             cache.clear()
             yield pdf
 

@@ -11,6 +11,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# edge-whitespace class shared verbatim with kernels/normalize.py and the
+# oracle SQL: F.trim strips ASCII spaces ONLY, so '\nabc' survives trim but
+# not the python twin's strip — the explicit class keeps all three engines
+# in lockstep (round-1 ADVICE)
+EDGE_WS = r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$"
+
+
 def normalize_expr(col: Column) -> Column:
     """Strip [[boilerplate]], collapse space runs, trim around newlines and
     at the ends. NULL-safe: returns '' for NULL input (P4 coalesce)."""
@@ -18,7 +25,7 @@ def normalize_expr(col: Column) -> Column:
     t = F.regexp_replace(t, r"\[\[.*?\]\]", "")
     t = F.regexp_replace(t, r"[ \t]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")
-    return F.trim(t)
+    return F.regexp_replace(t, EDGE_WS, "")
 
 
 def coalesce_text_expr(transformer_text: Column, text: Column) -> Column:
@@ -30,3 +37,16 @@ def coalesce_text_expr(transformer_text: Column, text: Column) -> Column:
         F.nullif(F.trim(F.coalesce(text, F.lit(""))), F.lit("")),
         F.lit(""),
     )
+
+
+def refined_text_expr(transformer_text: Column, text: Column) -> Column:
+    """Final span text: the enhanced (transformer) text wins when it
+    normalizes non-blank, else the first-pass OCR text — P4 applied over
+    NORMALIZED candidates so the choice can't differ between the JVM path
+    and the fused python twin (a raw-non-blank transformer_text that
+    normalizes to '' must fall through to `text` on both).
+
+    Python twin (pinned by tests):
+        normalize_text(transformer_text) or normalize_text(text)
+    """
+    return coalesce_text_expr(normalize_expr(transformer_text), normalize_expr(text))

@@ -78,9 +78,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# explicit tie priority, pinned identically in the oracle SQL's CASE order
+# (__spark_entry__.oracle_sql: zh checked first, then fr, es, de, else en)
+_LANG_TIE_PRIORITY = {"zh": 5, "fr": 4, "es": 3, "de": 2, "en": 1}
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Lexicon-overlap language ID: argmax over per-language marker hits;
-    ties and zero-evidence fall back to 'en'. Pure expressions."""
+    ties break by the pinned priority (zh > fr > es > de > en) and
+    zero-evidence falls back to 'en'. Pure expressions."""
     words = F.array_distinct(words_expr(F.col(text_col)))
     scores = []
     for lang, markers in sorted(_LANG_MARKERS.items()):
@@ -88,11 +94,13 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         scores.append(
             F.struct(
                 F.size(F.array_intersect(words, arr)).alias("hits"),
+                F.lit(_LANG_TIE_PRIORITY[lang]).alias("prio"),
                 F.lit(lang).alias("lang"),
             )
         )
-    # argmax by (hits, reverse-alpha tiebreak is implicit in array_max over
-    # struct ordering: hits first, then lang string) — pin 'en' when all 0
+    # argmax by (hits, prio): struct ordering compares fields left to right,
+    # so equal hit counts resolve by the explicit priority — never by the
+    # accidental lang-string ordering
     best = F.array_max(F.array(*scores))
     return df.withColumn(
         "lang_pred",

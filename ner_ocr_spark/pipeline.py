@@ -33,10 +33,10 @@ from ner_ocr_spark.operators.extract import (
     make_ocr_stage,
     ocr_ner_schema,
 )
-from ner_ocr_spark.operators.normalize import normalize_expr
+from ner_ocr_spark.operators.normalize import normalize_expr, refined_text_expr
 
 SPAN_COLS = ["doc_id", "span_idx", "line_idx", "kind", "text", "media_ref",
-             "box", "score", "error"]
+             "box", "score", "transformer_text", "transformer_score", "error"]
 
 
 def explode_spans(documents: DataFrame) -> DataFrame:
@@ -90,6 +90,8 @@ def extract_spans(
             F.lit(None).cast("string").alias("media_ref"),
             F.lit(None).cast("array<double>").alias("box"),
             F.lit(1.0).alias("score"),
+            F.lit(None).cast("string").alias("transformer_text"),
+            F.lit(None).cast("double").alias("transformer_score"),
             F.lit(None).cast("string").alias("error"),
         )
         .filter(F.length("text") > 0)
@@ -137,9 +139,15 @@ def extract_spans(
     ocr_rows = media.mapInPandas(
         make_ocr_stage(blob_resolver, refine_below=refine_below), OCR_SCHEMA
     )
-    media_branch = ocr_rows.withColumn("text", normalize_expr(F.col("text"))).filter(
-        (F.length("text") > 0) | F.col("error").isNotNull()
-    )
+    # P4 coalesce (JVM-side): enhanced text wins only when it normalizes
+    # non-blank; error rows keep text untouched (mode-invariant with the
+    # fused path, which skips normalization on error)
+    media_branch = ocr_rows.withColumn(
+        "text",
+        F.when(F.col("error").isNotNull(), F.col("text")).otherwise(
+            refined_text_expr(F.col("transformer_text"), F.col("text"))
+        ),
+    ).filter((F.length("text") > 0) | F.col("error").isNotNull())
     return text_branch.unionByName(media_branch).select(*SPAN_COLS)
 
 

@@ -101,11 +101,18 @@ class Workbench:
     def run_enhancement(self, refine_below: float = 1.01) -> DataFrame:
         """Stage 4: refine ONLY searched regions (UI semantics: enhance
         after search, once, P6 guard). Re-runs the fine-deskew second pass
-        for the matched pages and keeps better-scoring lines."""
+        for the matched pages, recording results in transformer_text/score
+        (P4 coalesce downstream picks the winner).
+
+        Scale-safe: matched media_refs are selected with broadcast
+        semi/anti joins — no collect()/isin() driver round-trip (the
+        matched set is search output: small, broadcastable)."""
         matched = self._require("search")
-        refs = [r["media_ref"] for r in (
-            self._require("ocr")
-            .join(
+        ocr_rows = self._require("ocr")
+        from ner_ocr_spark.operators.extract import OCR_SCHEMA, make_refine_stage
+
+        hit_refs = (
+            ocr_rows.join(
                 matched.select(
                     F.col("doc_id").alias("m_doc"), F.col("page").alias("m_span"),
                     F.col("region_idx").alias("m_line"),
@@ -115,19 +122,15 @@ class Workbench:
                     F.col("line_idx") == F.col("m_line")],
                 how="left_semi",
             )
-            .select("media_ref").distinct().collect()
-        )]
-        ocr_rows = self._require("ocr")
-        from ner_ocr_spark.operators.extract import OCR_SCHEMA, make_refine_stage
-
-        hit = ocr_rows.filter(F.col("media_ref").isin(refs))
-        rest = ocr_rows.filter(
-            ~F.col("media_ref").isin(refs) | F.col("media_ref").isNull()
+            .select("media_ref").distinct()
         )
+        hit = ocr_rows.join(F.broadcast(hit_refs), "media_ref", "left_semi")
+        # anti join keeps media_ref-NULL rows (text spans): NULL never
+        # matches a join key, so they land on the untouched side
+        rest = ocr_rows.join(F.broadcast(hit_refs), "media_ref", "left_anti")
         refined = hit.select(*OCR_SCHEMA.fieldNames()).mapInPandas(
             make_refine_stage(), OCR_SCHEMA
         )
-        # text rows lack OCR columns ordering; reselect to align
         merged = rest.select(*ocr_rows.columns).unionByName(
             refined.select(*ocr_rows.columns)
         )
@@ -143,16 +146,21 @@ class Workbench:
         assembled text — mirrors the reference entity pipeline's
         _to_markdown -> extract_entities flow
         (/root/reference/src/pipelines/entity.py:45-73)."""
+        from ner_ocr_spark.operators.normalize import refined_text_expr
+
         base = self._results["enhance"] or self._require("ocr")
+        # P4: enhanced text (from run_enhancement's transformer columns)
+        # wins when non-blank, else the first-pass text
+        final_text = refined_text_expr(F.col("transformer_text"), F.col("text"))
         regions = base.filter(
             (F.col("kind") == "media") & F.col("error").isNull()
             & (F.size(F.coalesce("box", F.array())) == 4)
-            & (F.length(F.trim(F.coalesce("text", F.lit("")))) > 0)
+            & (F.length(final_text) > 0)
         ).select(
             "doc_id",
             F.element_at("box", 2).alias("y"),
             F.element_at("box", 1).alias("x"),
-            "text",
+            final_text.alias("text"),
         )
         pages = to_markdown(regions, line_threshold, gap_threshold)
         gaz = gazetteer if gazetteer is not None else corpus_mod.GAZETTEER

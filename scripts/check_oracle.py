@@ -22,12 +22,17 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def canon(v):
+    # type-tagged: a float and an int with equal value must NOT collide —
+    # the driver's value hash distinguishes pandas float64 "3.0" from Spark
+    # int "3" (round-1 lesson: DuckDB integer sum() -> HUGEINT -> float64)
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return f"{v:.6g}~f"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
