@@ -316,6 +316,21 @@ def q_minhash_pairs(spark, sf):  # rows-only (hash-seeded candidates)
     return minhash_lsh_pairs(docs)
 
 
+def q_minhash_sig(spark, sf):  # minhash signature stage, value-checked
+    """The signature math itself (shingle -> base hash -> affine-min family)
+    against a DuckDB twin. Uses the portable md5-based base hash
+    (dedup.md5_hash31) — xxhash64, the production default, has no DuckDB
+    equivalent; the affine family and plan shape are identical."""
+    from ner_ocr_spark.operators.dedup import md5_hash31, minhash_signatures
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    sig = minhash_signatures(docs, num_hashes=8, base_hash=md5_hash31)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(8)],
+    )
+
+
 def q_simhash_candidates(spark, sf):  # rows-only
     from ner_ocr_spark.operators.dedup import simhash_candidates
 
@@ -392,10 +407,21 @@ def q_lang_id(spark, sf):
     return lang_id(_t(spark, sf, "documents")).select("doc_id", "lang_pred")
 
 
-def q_fingerprint(spark, sf):  # rows-only (rolling hash fold)
+def q_fingerprint(spark, sf):  # winnowing fingerprint, value-checked
+    """Winnowing (k=8, window=16) with the portable md5-based k-gram hash
+    so DuckDB can replicate the exact selected-hash set; production default
+    is xxhash64 (same plan, JVM-only hash)."""
     from ner_ocr_spark.operators.textstats import fingerprint
 
-    return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
+    def md5_gram_hash(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    fp = fingerprint(_t(spark, sf, "documents"), base_hash=md5_gram_hash)
+    return fp.select(
+        "doc_id",
+        F.col("fingerprint_digest").alias("fp_digest"),
+        F.size("fingerprint").cast("long").alias("fp_n"),
+    )
 
 
 def q_explode_1n(spark, sf):  # S3 1:N expansion (pdf -> pages analog)
@@ -696,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_sig": q_minhash_sig,
         "simhash_candidates": q_simhash_candidates,
         "cosine_topk": q_cosine_topk,
         "embed_neardup": q_embed_neardup,
@@ -889,6 +916,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(l.g, r.g)) AS DOUBLE)
                   / len(list_distinct(list_concat(l.g, r.g))) >= 0.3
         """,
+        "minhash_sig": """
+            WITH grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 2, 1) + 1),
+                           i -> array_to_string(w[i:i+2], ' '))) AS shingles
+                FROM (
+                    SELECT doc_id,
+                           string_split(trim(regexp_replace(lower(text),
+                                             '\\s+', ' ', 'g')), ' ') AS w
+                    FROM documents WHERE doc_id < 50
+                )
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(shingles,
+                           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                                % 2147483648) AS hs
+                FROM grams
+            )
+            SELECT doc_id,
+                   list_min(list_transform(hs, h -> (h *  1 +  7919) % 2147483647)) AS mh0,
+                   list_min(list_transform(hs, h -> (h *  3 + 15838) % 2147483647)) AS mh1,
+                   list_min(list_transform(hs, h -> (h *  5 + 23757) % 2147483647)) AS mh2,
+                   list_min(list_transform(hs, h -> (h *  7 + 31676) % 2147483647)) AS mh3,
+                   list_min(list_transform(hs, h -> (h *  9 + 39595) % 2147483647)) AS mh4,
+                   list_min(list_transform(hs, h -> (h * 11 + 47514) % 2147483647)) AS mh5,
+                   list_min(list_transform(hs, h -> (h * 13 + 55433) % 2147483647)) AS mh6,
+                   list_min(list_transform(hs, h -> (h * 15 + 63352) % 2147483647)) AS mh7
+            FROM hashed
+        """,
         "cosine_topk": """
             WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
             q AS (SELECT vec_id AS query_id, e AS qv FROM emb WHERE vec_id < 3),
@@ -974,6 +1031,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_de = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'de'
                         ELSE 'en' END AS lang_pred
             FROM scored
+        """,
+        "fingerprint": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(length(t) - 7, 1) + 1),
+                           i -> CAST('0x' || substr(md5(substr(t, CAST(i AS INT), 8)),
+                                                    1, 15) AS BIGINT)) AS hs
+                FROM n
+            ), w AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(list_transform(
+                           range(1, greatest(len(hs) - 15, 1) + 1),
+                           j -> list_min(hs[j:j+15])))) AS fp
+                FROM h
+            )
+            SELECT doc_id,
+                   md5(array_to_string(fp, ',')) AS fp_digest,
+                   CAST(len(fp) AS BIGINT) AS fp_n
+            FROM w
         """,
         "explode_1n": """
             WITH p AS (SELECT doc_id,

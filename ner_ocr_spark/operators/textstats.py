@@ -108,16 +108,53 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", window: int = 16) -> DataFrame:
-    """Document fingerprint: polynomial rolling hash (base 257, mod 2^53-1)
-    of the normalized text, folded JVM-side over the char codes."""
-    # modulus bounded so acc*257+255 stays under int64 (ANSI overflow guard)
-    mod = F.lit((1 << 53) - 1)
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    base_hash=None,
+) -> DataFrame:
+    """Document fingerprinting by WINNOWING (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-gram of the normalized text, then keep the
+    minimum hash of each sliding window of `window` consecutive k-gram
+    hashes — any two documents sharing a run of >= window+k-1 characters
+    share a fingerprint hash. Output columns: `fingerprint` (sorted
+    distinct selected hashes, array<long>) and `fingerprint_digest`
+    (md5 of the joined set — a scalar identity for exact-set compares).
+
+    Round-1's version folded a per-char string array (~10x the text's
+    memory) and never used `window`; this one materializes only the k-gram
+    hash array (8 bytes per position) and the window parameter is the real
+    winnowing guarantee. base_hash defaults to xxhash64 (JVM);
+    dedup.md5_hash31-style portable hashes make it oracle-checkable."""
+    base_hash = base_hash or F.xxhash64
+    norm_col, hs_col = "_fp_norm", "_fp_hs"
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    chars = F.split(norm, "")
-    full = F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: F.pmod(acc * 257 + F.ascii(ch), mod),
+    # materialize norm and the k-gram hash array: HOF lambdas re-evaluate
+    # inline subexpressions per element (CLAUDE.md sharp edge)
+    out = df.withColumn(norm_col, norm)
+    n_pos = F.greatest(F.length(F.col(norm_col)) - (k - 1), F.lit(1))
+    out = out.withColumn(
+        hs_col,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: base_hash(F.substring(F.col(norm_col), i, k)),
+        ),
     )
-    return df.withColumn("fingerprint", full)
+    n_win = F.greatest(F.size(F.col(hs_col)) - (window - 1), F.lit(1))
+    selected = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.array_min(F.slice(F.col(hs_col), j, window)),
+    )
+    fp = F.array_sort(F.array_distinct(selected))
+    return (
+        out.withColumn("fingerprint", fp)
+        .withColumn(
+            "fingerprint_digest",
+            F.md5(F.array_join(
+                F.transform(F.col("fingerprint"), lambda x: x.cast("string")), ","
+            )),
+        )
+        .drop(norm_col, hs_col)
+    )

@@ -54,6 +54,31 @@ def test_simhash_hamming_zero_for_dups(spark):
     assert out.get((1, 3)) == 0
 
 
+def test_simhash_rotation_scheme_recall(spark):
+    """A 1-2-bit flip landing INSIDE the top-prefix window breaks the
+    single-table bucket (round-1 recall gap); with 4 rotations some table
+    always buckets the pair together (Manku-style scheme)."""
+    from ner_ocr_spark.operators.dedup import simhash_bucket_pairs
+
+    v = 0x123456789ABCDEF0
+    rows = [
+        (1, v),
+        (2, v ^ (1 << 60)),              # flip in bits 48-63 (rot-0 prefix)
+        (3, v ^ ((1 << 60) | (1 << 3))), # 2 flips, one in the prefix
+        (4, ~v & 0x7FFFFFFFFFFFFFFF),    # far away from everything
+    ]
+    sh = spark.createDataFrame(rows, "id long, simhash long")
+    single = {(r["id_a"], r["id_b"])
+              for r in simhash_bucket_pairs(sh, prefix_bits=16, rotations=1).collect()}
+    assert (1, 2) not in single  # the round-1 gap, demonstrated
+    multi = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_bucket_pairs(sh, prefix_bits=16, rotations=4).collect()}
+    assert multi.get((1, 2)) == 1
+    assert multi.get((1, 3)) == 2
+    assert multi.get((2, 3)) == 1
+    assert not any(4 in p for p in multi)
+
+
 def test_ngram_jaccard_exact_values(spark):
     docs = _docs(spark).withColumn("block", F.lit("x"))
     out = {(r["id_a"], r["id_b"]): r["jaccard"]

@@ -85,6 +85,25 @@ def test_minhash_uses_partial_aggregation(spark):
     assert re.search(r"partial_min|HashAggregate.*\bmin\b", plan)
 
 
+def test_minhash_band_join_carries_no_signatures(spark):
+    """Shuffle diet (round-2): the banded self-join moves ONLY
+    (id, band_idx, band_hash); the 32-long sig arrays are fetched by a
+    single re-join per side AFTER the candidate pairs are distinct()ed —
+    otherwise every signature crosses the shuffle 2 x bands times."""
+    from ner_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    plan = _executed(minhash_lsh_pairs(docs))
+    # the Project nodes feeding the band self-join output exactly
+    # (id, band_idx, band_hash) — their output lists must not mention sig
+    band_projects = re.findall(r"Project \[([^\]]*band_hash[^\]]*)\]", plan)
+    assert band_projects, plan
+    for cols in band_projects:
+        assert "sig#" not in cols and "mh0" not in cols, cols
+    # and the join itself exists
+    assert re.search(r"Join \[?band", plan) or "band_hash" in plan
+
+
 def test_cosine_topk_broadcasts_queries(spark):
     import __spark_entry__ as e
 

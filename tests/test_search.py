@@ -72,3 +72,79 @@ def test_semantic_search_no_matches(regions):
 def test_unknown_search_type(regions):
     with pytest.raises(ValueError):
         search(regions, "radial")
+
+
+def test_prefilter_admissible_property():
+    """The JVM gate is a true upper bound on partial_ratio: whenever the
+    real score clears the threshold, the gate must pass (no false
+    negatives, ever)."""
+    from collections import Counter
+
+    cases = [
+        ("window merge spark", "the window merge operator", 0.8),
+        ("baker street", "BAKER STREET 221B", 0.75),
+        ("baker street", "bkaer stret", 0.6),
+        ("abc", "xyz", 0.5),
+        ("query", "", 0.8),
+        ("", "anything", 0.8),
+        ("aaa", "aaaaaaaaa", 0.9),
+        ("spark sql", "sql spark", 0.7),
+    ]
+    for q, t, thr in cases:
+        ql, tl = q.lower(), t.lower()
+        qc, tc = Counter(ql), Counter(tl)
+        inter = sum(min(n, tc[c]) for c, n in qc.items())
+        shorter = min(len(ql), len(tl))
+        gate = (not ql) or thr <= 0 or inter * (2.0 - thr) >= thr * shorter
+        if score(t, q) >= thr:
+            assert gate, (q, t, thr)
+
+
+def test_prefilter_keeps_semantics_and_bounds_udf(spark):
+    """semantic_query results are IDENTICAL with the prefilter in place,
+    and on a corpus-shaped region table >=90% of rows are eliminated
+    before the Arrow UDF (round-1 scale fix #3)."""
+    from pyspark.sql import functions as F
+
+    from ner_ocr_spark.operators.search import (
+        fuzzy_prefilter_expr, fuzzy_score_udf, semantic_query,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    regs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("page"),
+        F.col("doc_id").cast("int").alias("region_idx"),
+        F.substring("text", 1, 40).alias("text"),
+        (F.col("doc_id") % 100).cast("double").alias("x1"),
+        ((F.col("doc_id") * 3) % 100).cast("double").alias("y1"),
+        ((F.col("doc_id") % 100) + 20).cast("double").alias("x2"),
+        (((F.col("doc_id") * 3) % 100) + 10).cast("double").alias("y2"),
+    )
+    query, thr = "window merge spark", 0.8
+    total = regs.count()
+    kept = regs.filter(fuzzy_prefilter_expr(F.col("text"), query, thr)).count()
+    assert kept <= 0.1 * total, f"prefilter kept {kept}/{total}"
+    # ground truth: score EVERY row with the UDF, no prefilter
+    truth = {
+        (r["doc_id"], r["region_idx"])
+        for r in regs.withColumn("s", fuzzy_score_udf(query)(F.col("text")))
+        .filter(F.col("s") >= thr).collect()
+    }
+    got_matches = {
+        (r["doc_id"], r["region_idx"])
+        for r in regs.filter(fuzzy_prefilter_expr(F.col("text"), query, thr))
+        .withColumn("s", fuzzy_score_udf(query)(F.col("text")))
+        .filter(F.col("s") >= thr).collect()
+    }
+    assert got_matches == truth
+    # and the full operator output is plan-shaped right: the Filter sits
+    # BELOW the ArrowEvalPython node (prefilter evaluated before Python)
+    out = semantic_query(regs, query, threshold=thr, search_padding=15.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    arrow_at = plan.find("ArrowEvalPython")
+    assert arrow_at >= 0, plan
+    # the replace()-based gate appears in a Filter strictly below Arrow
+    filt_at = plan.find("replace(", arrow_at)
+    assert filt_at > arrow_at, plan[:2000]
+    assert "replace(" not in plan[:arrow_at]
