@@ -22,7 +22,9 @@ from dataclasses import dataclass
 import numpy as np
 
 from ner_ocr_spark import font
-from ner_ocr_spark.png import decode_gray
+# format-sniffing decode: grayscale/color PNG or baseline JPEG, always
+# reduced to the 2-D uint8 page the kernel operates on
+from ner_ocr_spark.imageio import decode_image_gray as decode_gray
 
 _TEMPLATES, _CHARS = font.template_stack()
 # Templates matched at 3x resolution (21x15) — shrinks the boundary

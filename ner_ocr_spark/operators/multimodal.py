@@ -69,12 +69,13 @@ def _seed(ref: str, salt: str) -> int:
 
 
 def image_features_stage() -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
-    """REAL image decode: gray-8 PNG -> dims, ink ratio, Otsu threshold.
-    Resize semantics shared with the OCR kernel (bounded_resize)."""
+    """REAL image decode: PNG (gray/RGB/palette/RGBA) or baseline JPEG ->
+    dims, ink ratio, Otsu threshold. Resize semantics shared with the OCR
+    kernel (bounded_resize)."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ner_ocr_spark.imageio import decode_image_gray as decode_gray
         from ner_ocr_spark.kernels import ocr
-        from ner_ocr_spark.png import decode_gray
 
         for pdf in batches:
             out = {k: [] for k in IMAGE_FEATURES_SCHEMA.fieldNames()}
