@@ -4,7 +4,9 @@ rows so the job resumes from the last committed snapshot checkpoint").
 
 Snapshot pattern without an Iceberg catalog (no connector jars in this
 image; the layout is Iceberg-shaped — an append-only data dir + a lineage
-table — so swapping `parquet` for `iceberg` is a format string change):
+table). `table_format` IS that format string: pass "iceberg" where the
+runtime ships the Iceberg connector and both tables commit through it
+(tests skip when the DataSource is absent, proving the flag is wired):
 
   out_dir/data/     — extracted span rows, appended per committed chunk
   out_dir/lineage/  — one row per (run, chunk, partition): doc/span/error
@@ -39,18 +41,34 @@ def _lineage_dir(out_dir: str) -> str:
     return f"{out_dir.rstrip('/')}/lineage"
 
 
-def committed_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
+def _write_append(df: DataFrame, path: str, table_format: str) -> None:
+    df.write.mode("append").format(table_format).save(path)
+
+
+def _read(spark: SparkSession, path: str, table_format: str) -> DataFrame:
+    return spark.read.format(table_format).load(path)
+
+
+def committed_doc_ids(
+    spark: SparkSession, out_dir: str, table_format: str = "parquet"
+) -> DataFrame | None:
     """Distinct doc_ids already in the committed output, or None if no
     snapshot exists yet."""
     try:
-        return spark.read.parquet(_data_dir(out_dir)).select("doc_id").distinct()
-    except Exception:  # noqa: BLE001 — no committed data yet
+        return _read(spark, _data_dir(out_dir), table_format).select(
+            "doc_id"
+        ).distinct()
+    except Exception as e:  # noqa: BLE001 — no committed data yet
+        if "Failed to find" in str(e) or "ClassNotFound" in str(e):
+            raise  # missing DataSource is a config error, not an empty dir
         return None
 
 
-def remaining_documents(documents: DataFrame, out_dir: str) -> DataFrame:
+def remaining_documents(
+    documents: DataFrame, out_dir: str, table_format: str = "parquet"
+) -> DataFrame:
     """Checkpoint anti-join (SURVEY.md §2.3): input minus committed."""
-    done = committed_doc_ids(documents.sparkSession, out_dir)
+    done = committed_doc_ids(documents.sparkSession, out_dir, table_format)
     if done is None:
         return documents
     return documents.join(done, "doc_id", "left_anti")
@@ -84,6 +102,7 @@ def run_checkpointed(
     n_chunks: int = 8,
     max_chunks: int | None = None,
     run_id: str | None = None,
+    table_format: str = "parquet",
     **extract_kwargs,
 ) -> dict:
     """Extract in doc_id-hash chunks, committing data + lineage per chunk.
@@ -93,7 +112,7 @@ def run_checkpointed(
     uncommitted documents — no duplicates, no gaps.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    todo = remaining_documents(documents, out_dir)
+    todo = remaining_documents(documents, out_dir, table_format)
     stats = {"run_id": run_id, "chunks_done": 0, "docs_done": 0}
     for chunk in range(n_chunks):
         if max_chunks is not None and stats["chunks_done"] >= max_chunks:
@@ -111,20 +130,25 @@ def run_checkpointed(
         # committed and silently compute over nothing
         metric_rows = partition_metrics(extracted, run_id, chunk).collect()
         n_docs = extracted.select("doc_id").distinct().count()
-        extracted.write.mode("append").parquet(_data_dir(out_dir))
+        _write_append(extracted, _data_dir(out_dir), table_format)
         wall_ms = int((time.monotonic() - t0) * 1000)
-        spark.createDataFrame(metric_rows).withColumn(
-            "wall_ms", F.lit(wall_ms)
-        ).write.mode("append").parquet(_lineage_dir(out_dir))
+        _write_append(
+            spark.createDataFrame(metric_rows).withColumn("wall_ms", F.lit(wall_ms)),
+            _lineage_dir(out_dir), table_format,
+        )
         extracted.unpersist()
         stats["chunks_done"] += 1
         stats["docs_done"] += n_docs
     return stats
 
 
-def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(_data_dir(out_dir))
+def read_output(
+    spark: SparkSession, out_dir: str, table_format: str = "parquet"
+) -> DataFrame:
+    return _read(spark, _data_dir(out_dir), table_format)
 
 
-def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(_lineage_dir(out_dir))
+def read_lineage(
+    spark: SparkSession, out_dir: str, table_format: str = "parquet"
+) -> DataFrame:
+    return _read(spark, _lineage_dir(out_dir), table_format)

@@ -67,14 +67,18 @@ def make_ocr_stage(
     min_score: float | None = None,
     refine_below: float | None = None,
     gazetteer: list[tuple[str, str]] | None = None,
+    kind_label: str = "media",
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Build the OCR mapInPandas function.
 
-    Input batches: (doc_id, span_idx, media_ref[, image_png]). If an
-    `image_png` column is present (blobs joined upstream) it is used;
-    otherwise `blob_resolver(media_ref)` fetches/synthesizes the bytes —
-    the production shape, where media_ref points into an object store and
-    the fetch happens executor-side (no image bytes ever shuffle).
+    Input batches: (doc_id, span_idx, media_ref[, image_png][, line_base]).
+    If an `image_png` column is present (blobs joined upstream, or PDF
+    pages rasterized upstream) it is used; a NULL image_png — and the
+    column's absence — falls back to `blob_resolver(media_ref)`, the
+    production shape where media_ref points into an object store and the
+    fetch happens executor-side (no image bytes ever shuffle). An optional
+    `line_base` column offsets the emitted line_idx — the PDF branch uses
+    page_idx * 100000 so multi-page spans keep one global line order.
 
     Output: OCR_SCHEMA, one row per recognized line, line_idx ordered
     top-to-bottom; a failed row degrades to a single (text=None, error=...)
@@ -109,7 +113,7 @@ def make_ocr_stage(
             out: dict[str, list] = {k: [] for k in cols}
 
             def emit(doc_id, span_idx, line_idx, text, media_ref, box, score,
-                     error, t_text=None, t_score=None):
+                     error, t_text=None, t_score=None, kind=None):
                 if tagger is not None:
                     if error is not None:
                         # error rows are mode-invariant: no normalization,
@@ -133,7 +137,7 @@ def make_ocr_stage(
                 out["doc_id"].append(doc_id)
                 out["span_idx"].append(span_idx)
                 out["line_idx"].append(line_idx)
-                out["kind"].append("media")
+                out["kind"].append(kind if kind is not None else kind_label)
                 out["text"].append(text)
                 out["media_ref"].append(media_ref)
                 out["box"].append(box)
@@ -143,13 +147,21 @@ def make_ocr_stage(
                 out["error"].append(error)
 
             has_png = "image_png" in pdf.columns
+            has_base = "line_base" in pdf.columns
+            has_kind = "kind" in pdf.columns
             for row in pdf.itertuples(index=False):
+                base = int(row.line_base) if has_base and row.line_base is not None and not pd.isna(row.line_base) else 0
+                rk = row.kind if has_kind else None
                 if time.monotonic() - t0 > batch_timeout_s:
-                    emit(row.doc_id, int(row.span_idx), 0, None, row.media_ref,
-                         None, None, "timeout: batch OCR budget exceeded")
+                    emit(row.doc_id, int(row.span_idx), base, None, row.media_ref,
+                         None, None, "timeout: batch OCR budget exceeded", kind=rk)
                     continue
                 try:
-                    png = row.image_png if has_png else resolver(row.media_ref)
+                    png = (
+                        row.image_png
+                        if has_png and row.image_png is not None
+                        else resolver(row.media_ref)
+                    )
                     lines = ocr.ocr_page(bytes(png), max_side_limit)
                     t_lines = None
                     if refine_below is not None and lines and any(
@@ -169,18 +181,19 @@ def make_ocr_stage(
                                 lines = t_lines
                             t_lines = None
                     if not lines:
-                        emit(row.doc_id, int(row.span_idx), 0, None,
-                             row.media_ref, None, 0.0, None)
+                        emit(row.doc_id, int(row.span_idx), base, None,
+                             row.media_ref, None, 0.0, None, kind=rk)
                     for li, lr in enumerate(lines):
                         if min_score is not None and lr.score < min_score:
                             continue
                         tt = t_lines[li].text if t_lines is not None else None
                         ts = float(t_lines[li].score) if t_lines is not None else None
-                        emit(row.doc_id, int(row.span_idx), li, lr.text,
-                             row.media_ref, lr.box, float(lr.score), None, tt, ts)
+                        emit(row.doc_id, int(row.span_idx), base + li, lr.text,
+                             row.media_ref, lr.box, float(lr.score), None, tt, ts,
+                             kind=rk)
                 except Exception as e:  # noqa: BLE001 — M6 row-level absorption
-                    emit(row.doc_id, int(row.span_idx), 0, None, row.media_ref,
-                         None, None, f"{type(e).__name__}: {e}")
+                    emit(row.doc_id, int(row.span_idx), base, None, row.media_ref,
+                         None, None, f"{type(e).__name__}: {e}", kind=rk)
             yield pd.DataFrame(out)
 
     return stage

@@ -1,0 +1,142 @@
+"""PDF ingestion: 1:N page rasterization ahead of the OCR stage.
+
+Mirrors the reference's primary input path
+(/root/reference/src/pdf_processing.py:21-73 — pypdfium2 render at
+zoom=2.0, truncated to `max_num_imgs` pages; dispatched for '.pdf' at
+/root/reference/src/bounding_box.py:300-303), re-expressed Spark-first:
+
+  * the rasterizer runs inside ONE mapInPandas stage emitting an
+    array<binary> of page PNGs per document (payload bytes never shuffle —
+    the stage is map-only and pages feed the OCR stage on the same
+    executor pass);
+  * `max_num_imgs` is applied JVM-side with F.slice before posexplode —
+    the reference's list truncation as a Catalyst expression;
+  * no rasterizer backend in the container is an honest per-row error
+    (M6 absorption), not a crash: pypdfium2 is probed as an optional
+    dependency, and any callable (bytes, zoom) -> list[png bytes] plugs in
+    (tests use a deterministic fake).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+Rasterizer = Callable[[bytes, float], list[bytes]]
+
+PDF_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("span_idx", T.IntegerType(), False),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("pages", T.ArrayType(T.BinaryType()), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def default_rasterizer() -> Rasterizer | None:
+    """pypdfium2-backed rasterizer when the library is present (it is not
+    in this container); None otherwise. Matches the reference's render
+    shape: page -> bitmap at `zoom` scale -> encoded image bytes."""
+    try:
+        import pypdfium2  # noqa: F401 — optional dependency
+    except ImportError:
+        return None
+
+    def rasterize(blob: bytes, zoom: float) -> list[bytes]:
+        import numpy as np
+        import pypdfium2 as pdfium
+
+        from ner_ocr_spark.png import encode_gray
+
+        doc = pdfium.PdfDocument(blob)
+        out = []
+        for page in doc:
+            bitmap = page.render(scale=zoom).to_numpy()
+            gray = bitmap if bitmap.ndim == 2 else bitmap[:, :, :3].mean(axis=2)
+            out.append(encode_gray(np.asarray(gray, dtype="uint8")))
+        return out
+
+    return rasterize
+
+
+def make_pdf_stage(
+    rasterizer: Rasterizer | None = None,
+    blob_resolver: Callable[[str], bytes] | None = None,
+    zoom: float = 2.0,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """mapInPandas: (doc_id, span_idx, media_ref[, payload]) ->
+    PDF_PAGES_SCHEMA. Bytes come from the `payload` column when present,
+    else blob_resolver(media_ref). Failures (including: no backend at all)
+    become error rows."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rast = rasterizer if rasterizer is not None else default_rasterizer()
+        for pdf in batches:
+            has_payload = "payload" in pdf.columns
+            out = {k: [] for k in PDF_PAGES_SCHEMA.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                out["doc_id"].append(row.doc_id)
+                out["span_idx"].append(int(row.span_idx))
+                out["media_ref"].append(row.media_ref)
+                try:
+                    if rast is None:
+                        raise NotImplementedError(
+                            "no PDF rasterizer backend (install pypdfium2 or "
+                            "pass rasterizer=...)"
+                        )
+                    blob = (
+                        row.payload
+                        if has_payload and row.payload is not None
+                        else blob_resolver(row.media_ref)
+                        if blob_resolver is not None
+                        else None
+                    )
+                    if blob is None:
+                        raise ValueError("no payload column and no blob_resolver")
+                    pages = rast(bytes(blob), zoom)
+                    out["pages"].append([bytearray(p) for p in pages])
+                    out["error"].append(None)
+                except Exception as e:  # noqa: BLE001 — M6 absorption
+                    out["pages"].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return stage
+
+
+def pdf_to_pages(
+    pdf_spans: DataFrame,
+    rasterizer: Rasterizer | None = None,
+    blob_resolver: Callable[[str], bytes] | None = None,
+    zoom: float = 2.0,
+    max_num_imgs: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """PDF spans -> (pages, errors).
+
+    pages: (doc_id, span_idx, media_ref, page_idx, image_png) — one row per
+    rasterized page, truncated to max_num_imgs JVM-side (F.slice, the
+    reference's max_num_imgs semantics).
+    errors: (doc_id, span_idx, media_ref, error) — spans whose blob could
+    not be rasterized."""
+    raw = pdf_spans.mapInPandas(
+        make_pdf_stage(rasterizer, blob_resolver, zoom), PDF_PAGES_SCHEMA
+    )
+    pages_expr = (
+        F.col("pages") if max_num_imgs is None
+        else F.slice("pages", 1, int(max_num_imgs))
+    )
+    ok = raw.filter(F.col("error").isNull()).select(
+        "doc_id", "span_idx", "media_ref",
+        F.posexplode(pages_expr).alias("page_idx", "image_png"),
+    )
+    err = raw.filter(F.col("error").isNotNull()).select(
+        "doc_id", "span_idx", "media_ref", "error"
+    )
+    return ok, err

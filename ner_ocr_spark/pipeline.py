@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ner_ocr_spark import corpus as corpus_mod
 from ner_ocr_spark.operators.extract import (
+    ENTITY_TYPE,
     OCR_SCHEMA,
     make_ner_stage,
     make_ocr_stage,
@@ -61,6 +62,9 @@ def extract_spans(
     gazetteer: list[tuple[str, str]] | None = None,
     with_ner: bool = True,
     refine_below: float | None = None,
+    pdf_rasterizer: Callable[[bytes, float], list[bytes]] | None = None,
+    pdf_max_pages: int | None = None,
+    pdf_zoom: float = 2.0,
 ) -> DataFrame:
     """Full extraction: ordered (kind, text, media_ref) span rows per doc,
     plus entities/bio when with_ner.
@@ -72,6 +76,16 @@ def extract_spans(
     spark.sql.shuffle.partitions. Partitioning key is (doc_id, span_idx) so
     one media-heavy document spreads across the cluster (north-rule skew
     clause) — reassembly restores order via span_idx, never partition order.
+
+    PDF spans (kind='pdf'): with pdf_rasterizer set (any callable
+    (bytes, zoom) -> list[page png bytes]; pypdfium2 auto-probed when
+    installed), spans route through operators/pdf.pdf_to_pages — rasterize
+    -> F.slice to pdf_max_pages -> posexplode -> the same OCR stage with
+    line_base = page_idx * 100000 so per-document order stays exact
+    (reference dispatch /root/reference/src/bounding_box.py:300-303,
+    max_num_imgs /root/reference/src/pdf_processing.py:21-73). Without a
+    rasterizer, pdf spans fall into the media branch where the image
+    decode fails into the error column — honest absorption, never a crash.
     """
     spark = documents.sparkSession
     spans = explode_spans(documents)
@@ -98,8 +112,11 @@ def extract_spans(
     )
 
     # -- media branch: spread heavy docs, then batched OCR ----------------
-    media = spans.filter(F.col("kind") == "media").select(
-        "doc_id", "span_idx", "media_ref"
+    # without a rasterizer, pdf spans join the media branch and absorb a
+    # decode error per row (the format sniff rejects non-image bytes)
+    media_kinds = ["media"] if pdf_rasterizer is not None else ["media", "pdf"]
+    media = spans.filter(F.col("kind").isin(media_kinds)).select(
+        "doc_id", "span_idx", "kind", "media_ref"
     )
     if blobs is not None:
         media = media.join(blobs, "media_ref", "left")
@@ -122,23 +139,70 @@ def extract_spans(
     # media rows cross the Python boundary twice (§4.3.4; each page
     # refined exactly once, each row tagged exactly once)
     gaz = gazetteer if gazetteer is not None else corpus_mod.GAZETTEER
-    if with_ner:
-        ocr_rows = media.mapInPandas(
-            make_ocr_stage(blob_resolver, refine_below=refine_below, gazetteer=gaz),
-            ocr_ner_schema(),
+
+    # -- pdf branch (only when a rasterizer is wired): rasterize -> slice
+    # -> posexplode -> the SAME OCR stage, line_base keeping page order ---
+    pdf_inputs = None
+    pdf_err = None
+    if pdf_rasterizer is not None:
+        from ner_ocr_spark.operators.pdf import pdf_to_pages
+
+        pdf_spans = (
+            spans.filter(F.col("kind") == "pdf")
+            .select("doc_id", "span_idx", "kind", "media_ref")
+            .repartition(n_part, "doc_id", "span_idx")
         )
+        pages, errs = pdf_to_pages(
+            pdf_spans.drop("kind"), pdf_rasterizer, blob_resolver,
+            zoom=pdf_zoom, max_num_imgs=pdf_max_pages,
+        )
+        pdf_inputs = pages.select(
+            "doc_id", "span_idx", F.lit("pdf").alias("kind"), "media_ref",
+            "image_png",
+            (F.col("page_idx") * 100000).cast("int").alias("line_base"),
+        )
+        pdf_err = errs.select(
+            "doc_id",
+            F.col("span_idx").cast("int").alias("span_idx"),
+            F.lit(0).alias("line_idx"),
+            F.lit("pdf").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            "media_ref",
+            F.lit(None).cast("array<double>").alias("box"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(None).cast("string").alias("transformer_text"),
+            F.lit(None).cast("double").alias("transformer_score"),
+            "error",
+        )
+
+    def run_ocr(df, schema, fused_gaz):
+        return df.mapInPandas(
+            make_ocr_stage(blob_resolver, refine_below=refine_below,
+                           gazetteer=fused_gaz),
+            schema,
+        )
+
+    if with_ner:
+        ocr_rows = run_ocr(media, ocr_ner_schema(), gaz)
+        if pdf_inputs is not None:
+            ocr_rows = ocr_rows.unionByName(run_ocr(pdf_inputs, ocr_ner_schema(), gaz))
         # normalize + blank-filter already applied in-stage (python twin)
         media_branch = ocr_rows.filter(
             (F.length("text") > 0) | F.col("error").isNotNull()
         )
+        if pdf_err is not None:
+            media_branch = media_branch.unionByName(
+                pdf_err.withColumn("entities", F.lit(None).cast(ENTITY_TYPE))
+                .withColumn("bio", F.lit(None).cast("string"))
+            )
         ner_fn, ner_schema = make_ner_stage(gaz, passthrough=text_branch.schema)
         text_tagged = text_branch.mapInPandas(ner_fn, ner_schema)
         return text_tagged.unionByName(media_branch).select(
             *SPAN_COLS, "entities", "bio"
         )
-    ocr_rows = media.mapInPandas(
-        make_ocr_stage(blob_resolver, refine_below=refine_below), OCR_SCHEMA
-    )
+    ocr_rows = run_ocr(media, OCR_SCHEMA, None)
+    if pdf_inputs is not None:
+        ocr_rows = ocr_rows.unionByName(run_ocr(pdf_inputs, OCR_SCHEMA, None))
     # P4 coalesce (JVM-side): enhanced text wins only when it normalizes
     # non-blank; error rows keep text untouched (mode-invariant with the
     # fused path, which skips normalization on error)
@@ -148,6 +212,8 @@ def extract_spans(
             refined_text_expr(F.col("transformer_text"), F.col("text"))
         ),
     ).filter((F.length("text") > 0) | F.col("error").isNotNull())
+    if pdf_err is not None:
+        media_branch = media_branch.unionByName(pdf_err)
     return text_branch.unionByName(media_branch).select(*SPAN_COLS)
 
 
