@@ -29,10 +29,16 @@ each cost tier.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _token_cache: dict[int, list[int]] = {}
+
+# exact mode funnels EVERY row through one partition for the global
+# row_number window; above this many rows it is a self-inflicted straggler
+EXACT_MODE_ROW_LIMIT = 10_000_000
 
 
 def _partition_tokens(spark, n: int) -> list[int]:
@@ -77,6 +83,18 @@ def balance_by_cost(
         ).sortWithinPartitions(F.desc(cost_col))
         rank = F.monotonically_increasing_id()
     else:
+        # LOUD guard (round-2): the global no-partition window serializes
+        # the whole input through one task. Fine for interactive/small
+        # inputs; at corpus scale callers must pass approximate=True (the
+        # pipeline default). The check is plan-free (cheap count only when
+        # the input is already materialized is NOT worth a job — warn
+        # unconditionally instead so the trade is visible in logs).
+        warnings.warn(
+            "balance_by_cost(approximate=False) sorts ALL rows through a "
+            "single-partition window; use approximate=True beyond "
+            f"~{EXACT_MODE_ROW_LIMIT:,} rows",
+            stacklevel=2,
+        )
         ranged = df
         rank = F.row_number().over(Window.orderBy(F.desc(cost_col)))
     # tokens were probed as LONGs; Murmur3 of int32 differs from int64,
