@@ -495,7 +495,7 @@ def q_semantic_search(spark, sf):  # J3 + F2 fuzzy (rows-only: difflib UDF)
                   text="window merge spark", threshold=0.8, search_padding=15.0)
 
 
-def q_entity_json(spark, sf):  # F6 + dynamic YAML schema (rows-only)
+def q_entity_json(spark, sf):  # F6 + dynamic YAML schema (oracle since r2)
     from ner_ocr_spark.schema import entity_registry, parse_entity_json
 
     yaml_doc = """
@@ -887,6 +887,12 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(CAST(sum(CAST(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT)) AS BIGINT), -1) AS k_sum,
                    count(CAST(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT)) AS k_cnt
             FROM events GROUP BY event_type
+        """,
+        "entity_json": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   json_extract_string(props, '$.label') AS label
+            FROM events
         """,
         "think_strip": """
             SELECT doc_id,

@@ -149,9 +149,16 @@ def make_ocr_stage(
             has_png = "image_png" in pdf.columns
             has_base = "line_base" in pdf.columns
             has_kind = "kind" in pdf.columns
+            has_pre_err = "error" in pdf.columns
             for row in pdf.itertuples(index=False):
                 base = int(row.line_base) if has_base and row.line_base is not None and not pd.isna(row.line_base) else 0
                 rk = row.kind if has_kind else None
+                if has_pre_err and isinstance(row.error, str):
+                    # upstream stage (pdf rasterizer) already failed this
+                    # span: pass the error row through untouched
+                    emit(row.doc_id, int(row.span_idx), base, None,
+                         row.media_ref, None, None, row.error, kind=rk)
+                    continue
                 if time.monotonic() - t0 > batch_timeout_s:
                     emit(row.doc_id, int(row.span_idx), base, None, row.media_ref,
                          None, None, "timeout: batch OCR budget exceeded", kind=rk)

@@ -117,14 +117,17 @@ def pdf_to_pages(
     blob_resolver: Callable[[str], bytes] | None = None,
     zoom: float = 2.0,
     max_num_imgs: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """PDF spans -> (pages, errors).
+) -> DataFrame:
+    """PDF spans -> page rows (doc_id, span_idx, media_ref, page_idx,
+    image_png, error): one row per rasterized page, truncated to
+    max_num_imgs JVM-side (F.slice — the reference's max_num_imgs
+    semantics); a span whose blob could not be rasterized yields ONE row
+    with image_png NULL and `error` set.
 
-    pages: (doc_id, span_idx, media_ref, page_idx, image_png) — one row per
-    rasterized page, truncated to max_num_imgs JVM-side (F.slice, the
-    reference's max_num_imgs semantics).
-    errors: (doc_id, span_idx, media_ref, error) — spans whose blob could
-    not be rasterized."""
+    Single posexplode_outer over ONE mapInPandas output: a filter-fork
+    into separate ok/err DataFrames would execute the rasterizer stage
+    TWICE (each consumer re-runs the plan) — the error rows instead ride
+    the same stream and the downstream OCR stage passes them through."""
     raw = pdf_spans.mapInPandas(
         make_pdf_stage(rasterizer, blob_resolver, zoom), PDF_PAGES_SCHEMA
     )
@@ -132,11 +135,7 @@ def pdf_to_pages(
         F.col("pages") if max_num_imgs is None
         else F.slice("pages", 1, int(max_num_imgs))
     )
-    ok = raw.filter(F.col("error").isNull()).select(
-        "doc_id", "span_idx", "media_ref",
-        F.posexplode(pages_expr).alias("page_idx", "image_png"),
+    return raw.select(
+        "doc_id", "span_idx", "media_ref", "error",
+        F.posexplode_outer(pages_expr).alias("page_idx", "image_png"),
     )
-    err = raw.filter(F.col("error").isNotNull()).select(
-        "doc_id", "span_idx", "media_ref", "error"
-    )
-    return ok, err

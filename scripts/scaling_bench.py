@@ -78,14 +78,19 @@ def run_level(cores: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     docs = scaling_corpus(spark, N_DOCS, MEDIA_PER_DOC).cache()
     n = docs.count()  # warm: build + cache outside the timed window
+    # fine-grained OCR waves (8 tasks/core): at corpus scale shuffle
+    # partitions >> cores gives this for free; this harness's input is
+    # small, so one-wave-per-core scheduling would measure straggler tails,
+    # not scaling
+    width = 8 * cores
     # warm python workers/codegen on a small slice, not the full job
     pipeline.assemble_documents(
         pipeline.extract_spans(docs.limit(64))
     ).write.format("noop").mode("overwrite").save()
     t0 = time.monotonic()
-    pipeline.assemble_documents(pipeline.extract_spans(docs)).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    pipeline.assemble_documents(
+        pipeline.extract_spans(docs, media_partitions=width)
+    ).write.format("noop").mode("overwrite").save()
     wall = time.monotonic() - t0
     spark.stop()
     return {"cores": cores, "n_docs": n, "n_media": n * MEDIA_PER_DOC,
