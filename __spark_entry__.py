@@ -691,6 +691,41 @@ def q_stream_metrics(spark, sf):  # Structured Streaming windowed agg
     )
 
 
+def q_stateful_sessions(spark, sf):  # applyInPandasWithState, value-checked
+    """REAL stateful streaming (applyInPandasWithState + event-time
+    timeout): gap sessionization per user over the events stream. Emits
+    every session the watermark has CLOSED (end + gap + 1 < max event
+    time); the equivalent batch SQL reproduces exactly those sessions."""
+    import uuid
+
+    from ner_ocr_spark.streaming import stateful_sessionize
+
+    schema = _t(spark, sf, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .select(
+            # the operator's output schema types user_id as string
+            F.col("user_id").cast("string").alias("user_id"),
+            "event_id",
+            F.col("ts").cast("timestamp").cast("long").alias("epoch"),
+        )
+    )
+    sessions = stateful_sessionize(stream, gap_s=1800)
+    name = f"qss_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "session_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "start_epoch", "end_epoch",
+    )
+
+
 def q_extraction_e2e(spark, sf):  # the engine itself, rows-only oracle
     from ner_ocr_spark import pipeline
 
@@ -747,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refine_coalesce": q_refine_coalesce,
         "extraction_text_branch": q_extraction_text_branch,
         "stream_metrics": q_stream_metrics,
+        "stateful_sessions": q_stateful_sessions,
         "extraction_e2e": q_extraction_e2e,
     }
 
@@ -1206,6 +1242,39 @@ def oracle_sql() -> dict[str, str]:
                        AS win_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS v
             FROM events GROUP BY 1, 2
+        """,
+        "stateful_sessions": """
+            WITH e AS (
+                SELECT CAST(user_id AS VARCHAR) AS user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+                FROM events
+            ), mx AS (SELECT max(epoch) AS m FROM e),
+            flagged AS (
+                SELECT user_id, event_id, epoch,
+                       CASE WHEN lag_e IS NULL OR epoch - lag_e <= 1800
+                            THEN 0 ELSE 1 END AS flag
+                FROM (
+                    SELECT user_id, event_id, epoch,
+                           lag(epoch) OVER (PARTITION BY user_id
+                                            ORDER BY epoch, event_id) AS lag_e
+                    FROM e
+                )
+            ), sess AS (
+                SELECT user_id, epoch,
+                       sum(flag) OVER (PARTITION BY user_id
+                                       ORDER BY epoch, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            ), agg AS (
+                SELECT user_id, sid, count(*) AS n,
+                       min(epoch) AS st, max(epoch) AS en
+                FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id, CAST(sid AS INT) AS session_id,
+                   CAST(n AS BIGINT) AS n_events,
+                   st AS start_epoch, en AS end_epoch
+            FROM agg, mx
+            WHERE m > en + 1801
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -13,6 +13,11 @@ deployment needs:
     anti-join inside the batch writer makes replays idempotent on top.
   * stream_metrics — watermark + sliding-window counts over an event stream
     (late data dropped past the watermark), the standard streaming-agg shape.
+  * stateful_sessionize — applyInPandasWithState custom stateful operator:
+    event-time-gap sessionization per user with explicit GroupState
+    (running session accumulator + processing-time timeout flush) — the
+    operator class Spark's built-in windows can't express, per the driver
+    brief's custom-stateful-operator clause.
 """
 
 from __future__ import annotations
@@ -77,6 +82,102 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id string, session_id int, n_events int, "
+    "start_epoch long, end_epoch long"
+)
+_SESSION_STATE_SCHEMA = (
+    "session_id int, n_events int, start_epoch long, last_epoch long"
+)
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    epoch_col: str = "epoch",
+    order_col: str = "event_id",
+):
+    """Custom stateful streaming operator (applyInPandasWithState): gap
+    sessionization per user over a stream.
+
+    State per user = the OPEN session (id, count, start, last-event epoch).
+    A batch's events merge into it in (epoch, order) order; every session
+    CLOSED by a gap > gap_s is emitted immediately; the open session
+    flushes via an EVENT-TIME timeout — once the stream's watermark passes
+    last_epoch + gap_s, no event can extend the session, so the flush is
+    deterministic (a processing-time timeout makes availableNow drains
+    stall until wall-clock expiry — measured, not guessed). State survives
+    restarts through the streaming checkpoint. After a timeout flush the
+    user's session_id restarts at 0 (state is gone by design): ids are
+    unique per state lifetime; (user_id, start_epoch) is the durable key.
+
+    This is the operator shape Spark's built-in windows cannot express
+    (W2's batch cumulative-sum window needs the whole partition; here state
+    is O(1) per user regardless of stream length). Batch twin: the
+    `sessionize` driver query — semantics pinned against it in tests."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        user = key[0]
+        if state.hasTimedOut:
+            sid, n, start, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user], "session_id": [sid], "n_events": [n],
+                 "start_epoch": [start], "end_epoch": [last]}
+            )
+            return
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(pdf[epoch_col].astype("int64"), pdf[order_col])
+            )
+        rows.sort()
+        if state.exists:
+            sid, n, start, last = state.get
+        else:
+            sid, n, start, last = 0, 0, None, None
+        closed = {"user_id": [], "session_id": [], "n_events": [],
+                  "start_epoch": [], "end_epoch": []}
+        for epoch, _ in rows:
+            epoch = int(epoch)
+            if last is None:
+                start, n = epoch, 1
+            elif epoch - last > gap_s:
+                closed["user_id"].append(user)
+                closed["session_id"].append(sid)
+                closed["n_events"].append(n)
+                closed["start_epoch"].append(start)
+                closed["end_epoch"].append(last)
+                sid, start, n = sid + 1, epoch, 1
+            else:
+                n += 1
+            last = epoch
+        if last is not None:  # no-op batches must not write a null state
+            state.update((sid, n, start, last))
+            # flush once the watermark proves no extender can arrive
+            state.setTimeoutTimestamp((last + gap_s + 1) * 1000)
+        if closed["user_id"]:
+            yield pd.DataFrame(closed)
+
+    with_ts = events.withColumn(
+        "_event_ts", F.col(epoch_col).cast("timestamp")
+    ).withWatermark("_event_ts", "0 seconds")
+    return (
+        with_ts.groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def stream_metrics(

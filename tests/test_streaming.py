@@ -48,6 +48,55 @@ def test_stream_extract_incremental(spark, tmp_path):
     assert spark.read.parquet(f"{out}/lineage").count() > 0
 
 
+def test_stateful_sessionize_across_restarts(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions closed by a gap emit
+    immediately; an open session flushes when the WATERMARK passes its
+    last event + gap (event-time timeout — deterministic under
+    availableNow); and the remaining open state survives a query restart
+    through the streaming checkpoint, closed by run-2 events. Semantics
+    match the batch `sessionize` window query (gap > gap_s starts a new
+    session)."""
+    src = str(tmp_path / "sess_in")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    schema = "user_id string, event_id long, epoch long"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming.stateful_sessionize(stream, gap_s=1800)
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["user_id"], r["start_epoch"]): (r["n_events"], r["end_epoch"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # batch 1: u1 closes a session [10,110] by gap and leaves one open at
+    # 5000; u2's lone session at 10 flushes IN-RUN because the watermark
+    # reaches 5000 > 10 + gap (event-time timeout at work)
+    spark.createDataFrame(
+        [("u1", 1, 10), ("u1", 2, 110), ("u1", 3, 5000), ("u2", 4, 10)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    got1 = run()
+    assert got1 == {("u1", 10): (2, 110), ("u2", 10): (1, 10)}
+
+    # batch 2 (NEW query, same checkpoint): u1's open session carried in
+    # state is closed by the far-future event; u2's new session at 9000
+    # flushes in-run (watermark 20000 passes its horizon); u1's newest
+    # session at 20000 stays open — nothing is past ITS horizon yet
+    spark.createDataFrame(
+        [("u1", 5, 20000), ("u2", 6, 9000)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    got2 = run()
+    assert got2[("u1", 5000)] == (1, 5000)
+    assert got2[("u2", 9000)] == (1, 9000)
+    assert ("u1", 20000) not in got2
+
+
 def test_stream_metrics_windows(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     src = str(tmp_path / "ev")
