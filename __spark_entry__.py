@@ -362,6 +362,18 @@ def q_lsh_topk(spark, sf):  # rows-only (approximate)
     return lsh_topk(emb, queries, k=5)
 
 
+def q_ivf_topk(spark, sf):  # rows-only (k-means quantizer not SQL-expressible)
+    from ner_ocr_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+
+
 def q_embed_neardup(spark, sf):  # embedding-cosine near-dup (exact, blocked)
     from ner_ocr_spark.operators.similarity import cosine_expr
 
@@ -762,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embed_neardup": q_embed_neardup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "quality_features": q_quality_features,
         "token_count": q_token_count,
         "lang_id": q_lang_id,

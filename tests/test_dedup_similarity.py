@@ -106,3 +106,30 @@ def test_topk_self_is_best_and_lsh_agrees(spark):
     assert rows[0]["vec_id"] == 7 and rows[0]["cosine"] == 1.0
     approx = lsh_topk(emb, q, k=3, dim=8, n_planes=4).collect()
     assert any(r["vec_id"] == 7 and r["rank"] == 1 for r in approx)
+
+
+def test_ivf_topk_recall_and_exact_limit(spark):
+    """IVF: self-retrieval at rank 1, recall grows with n_probe, and
+    probing every list reproduces brute force exactly."""
+    import math
+
+    vecs = [(i, [math.cos(0.1 * i * (j + 1)) for j in range(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id in (7, 23)").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    from ner_ocr_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, n_centroids=4, sample_n=60)
+    got = ivf_topk(emb, q, k=3, centroids=cents, n_probe=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = r["vec_id"]
+    assert by_q[7][1] == 7 and by_q[23][1] == 23
+    # n_probe = n_centroids == exact brute force (same top-k set + ranks)
+    bf = {(r["query_id"], r["rank"]): r["vec_id"]
+          for r in brute_force_topk(emb, q, k=3).collect()}
+    full = {(r["query_id"], r["rank"]): r["vec_id"]
+            for r in ivf_topk(emb, q, k=3, centroids=cents, n_probe=4).collect()}
+    assert full == bf
