@@ -104,6 +104,28 @@ def test_minhash_band_join_carries_no_signatures(spark):
     assert re.search(r"Join \[?band", plan) or "band_hash" in plan
 
 
+def test_map_only_operators_have_no_shuffle(spark):
+    """fingerprint (winnowing), quality/lang/token stats, refine-coalesce,
+    and region crops are all map-only — a shuffle in any of them would be
+    a plan regression at 100 TB."""
+    import __spark_entry__ as e
+
+    from ner_ocr_spark.operators.textstats import (
+        fingerprint, lang_id, quality_features,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        fingerprint(docs),
+        quality_features(docs),
+        lang_id(docs),
+        e.q_refine_coalesce(spark, SF),
+        e.q_token_count(spark, SF),
+    ):
+        plan = _executed(df)
+        assert "Exchange" not in plan, plan
+
+
 def test_cosine_topk_broadcasts_queries(spark):
     import __spark_entry__ as e
 
