@@ -523,8 +523,12 @@ entities:
     reg = entity_registry(yaml_doc)
     ev = _t(spark, sf, "events")
     parsed = parse_entity_json(F.col("props"), reg["EventEntity"])
+    # -1 sentinel keeps k integral on both engines even if a props row
+    # lacks the key (nullable BIGINT -> pandas float64, CLAUDE.md rule)
     return ev.select(
-        "event_id", parsed["k"].alias("k"), parsed["label"].alias("label")
+        "event_id",
+        F.coalesce(parsed["k"], F.lit(-1)).cast("long").alias("k"),
+        parsed["label"].alias("label"),
     )
 
 
@@ -939,7 +943,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "entity_json": """
             SELECT event_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
                    json_extract_string(props, '$.label') AS label
             FROM events
         """,
@@ -1280,14 +1284,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM flagged
             ), agg AS (
                 SELECT user_id, sid, count(*) AS n,
-                       min(epoch) AS st, max(epoch) AS en
+                       min(epoch) AS st, max(epoch) AS en,
+                       max(sid) OVER (PARTITION BY user_id) AS max_sid
                 FROM sess GROUP BY user_id, sid
             )
             SELECT user_id, CAST(sid AS INT) AS session_id,
                    CAST(n AS BIGINT) AS n_events,
                    st AS start_epoch, en AS end_epoch
             FROM agg, mx
-            WHERE m > en + 1801
+            -- emitted iff gap-closed by a later event of the SAME user
+            -- (sid < max_sid) OR watermark-closed (m > en + gap + 1):
+            -- gap-closure alone covers the boundary case where the closing
+            -- event IS the global max and en + 1801 == m exactly
+            WHERE sid < max_sid OR m > en + 1801
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

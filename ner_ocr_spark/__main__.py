@@ -84,7 +84,8 @@ def main(argv: list[str] | None = None) -> int:
 
         rows = spark.read.parquet(args.input)
         regions = rows.filter(
-            (F.col("kind") == "media") & F.col("error").isNull()
+            # OCR-derived regions: native media spans AND rasterized pdf pages
+            F.col("kind").isin("media", "pdf") & F.col("error").isNull()
             & (F.size(F.coalesce("box", F.array())) == 4)
         ).select(
             "doc_id",

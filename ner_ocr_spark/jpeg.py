@@ -415,6 +415,9 @@ def decode(data: bytes) -> np.ndarray:
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0xFF:  # T.81 B.1.1.2: 0xFF fill bytes before a marker
+            pos += 1
+            continue
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -454,12 +457,22 @@ def decode(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if ns < len(comps):
+                raise ValueError(
+                    "non-interleaved multi-scan JPEG unsupported (one SOS "
+                    f"covers {ns} of {len(comps)} components)"
+                )
             scan = []
             for c in range(ns):
                 cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in comps if x["id"] == cs)
                 comp["td"], comp["ta"] = tds >> 4, tds & 0xF
                 scan.append(comp)
+            if ns == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved —
+                # MCU = one data unit, sampling factors unused (a gray
+                # JPEG may legally declare hv=0x22 in SOF)
+                scan[0] = {**scan[0], "h": 1, "v": 1}
             pos = pos + 2 + seglen
             return _decode_scan(data, pos, w, h, scan, qtables, htables,
                                 restart_interval)

@@ -58,13 +58,16 @@ def fuzzy_prefilter_expr(
     corpora this eliminates only ~25% (English text shares most characters).
 
     mode='fast' (default) — additionally requires >= ceil(T*(2*thr-1)) of
-    the T query tokens (len>=3) to appear verbatim in the text. HEURISTIC:
-    a true match whose every query token is misspelled can be dropped; at
-    thr=0.8 that needs a window where >=2 of 3 tokens are corrupted yet
-    80% of characters still align — adversarial, not natural, input. The
-    reference's own rapidfuzz scorer is likewise an edit-model
-    approximation. Use mode='admissible' when exactness under adversarial
-    text matters more than the ~10x UDF fan-in reduction."""
+    the T query tokens (len>=3) to be PRESENT, where "present" means the
+    text contains at least one 4-gram of the token (not the verbatim
+    token: OCR-noisy text like 'vvindow rnerge spark' scores 0.889 against
+    'window merge spark' and must pass — a verbatim-token gate drops it,
+    the round-2 self-review catch). HEURISTIC still: a true match where
+    every 4-gram of ceil(T*(2thr-1)) tokens is corrupted can be dropped —
+    that needs 2+ edits inside every window of those tokens while 80% of
+    characters still align overall. ~89% of corpus rows eliminated. Use
+    mode='admissible' when exactness under adversarial text matters more
+    than the ~9x UDF fan-in reduction."""
     q = (query_text or "").lower()
     if not q or threshold <= 0:
         return F.lit(True)
@@ -85,7 +88,14 @@ def fuzzy_prefilter_expr(
         if toks and need > 0:
             hits: Column = F.lit(0)
             for w in toks:
-                hits = hits + F.contains(t, F.lit(w)).cast("int")
+                grams = (
+                    [w[i:i + 4] for i in range(len(w) - 3)] if len(w) >= 4
+                    else [w]
+                )
+                present = F.contains(t, F.lit(grams[0]))
+                for g in grams[1:]:
+                    present = present | F.contains(t, F.lit(g))
+                hits = hits + present.cast("int")
             gate = gate & (hits >= F.lit(need))
     return gate
 

@@ -144,9 +144,13 @@ def train_ivf_centroids(
     rows = (
         vectors.orderBy(id_col).limit(sample_n).select(vec_col).collect()
     )
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty vectors table")
     x = np.array([r[0] for r in rows], dtype=np.float64)
     if dim is not None and x.shape[1] != dim:
         raise ValueError(f"expected dim {dim}, got {x.shape[1]}")
+    # degrade gracefully on tiny corpora: one list per vector at most
+    n_centroids = min(n_centroids, len(x))
     h = hashlib.sha256(f"{seed}|{n_centroids}|{x.shape}".encode()).digest()
     rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
     cents = x[rng.choice(len(x), size=n_centroids, replace=False)]

@@ -84,7 +84,8 @@ class Workbench:
         Region geometry comes from the OCR `box` column."""
         ocr_rows = self._require("ocr")
         regions = ocr_rows.filter(
-            (F.col("kind") == "media") & F.col("error").isNull()
+            # OCR-derived regions: native media spans AND rasterized pdf pages
+            F.col("kind").isin("media", "pdf") & F.col("error").isNull()
         ).select(
             "doc_id",
             F.col("span_idx").alias("page"),
@@ -124,15 +125,21 @@ class Workbench:
             )
             .select("media_ref").distinct()
         )
-        hit = ocr_rows.join(F.broadcast(hit_refs), "media_ref", "left_semi")
-        # anti join keeps media_ref-NULL rows (text spans): NULL never
-        # matches a join key, so they land on the untouched side
-        rest = ocr_rows.join(F.broadcast(hit_refs), "media_ref", "left_anti")
+        # only native media rows refine: the stage re-decodes media_ref,
+        # which for pdf-derived rows points at the (un-rasterizable here)
+        # PDF blob, and their line_idx carries the page_idx*100000 base —
+        # pdf rows pass through untouched alongside text spans
+        media_rows = ocr_rows.filter(F.col("kind") == "media")
+        other_rows = ocr_rows.filter(F.col("kind") != "media")
+        hit = media_rows.join(F.broadcast(hit_refs), "media_ref", "left_semi")
+        rest = media_rows.join(F.broadcast(hit_refs), "media_ref", "left_anti")
         refined = hit.select(*OCR_SCHEMA.fieldNames()).mapInPandas(
             make_refine_stage(), OCR_SCHEMA
         )
-        merged = rest.select(*ocr_rows.columns).unionByName(
-            refined.select(*ocr_rows.columns)
+        merged = (
+            rest.select(*ocr_rows.columns)
+            .unionByName(other_rows.select(*ocr_rows.columns))
+            .unionByName(refined.select(*ocr_rows.columns))
         )
         return self._set("enhance", merged)
 
@@ -153,7 +160,8 @@ class Workbench:
         # wins when non-blank, else the first-pass text
         final_text = refined_text_expr(F.col("transformer_text"), F.col("text"))
         regions = base.filter(
-            (F.col("kind") == "media") & F.col("error").isNull()
+            # OCR-derived regions: native media spans AND rasterized pdf pages
+            F.col("kind").isin("media", "pdf") & F.col("error").isNull()
             & (F.size(F.coalesce("box", F.array())) == 4)
             & (F.length(final_text) > 0)
         ).select(

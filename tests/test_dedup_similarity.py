@@ -108,6 +108,26 @@ def test_topk_self_is_best_and_lsh_agrees(spark):
     assert any(r["vec_id"] == 7 and r["rank"] == 1 for r in approx)
 
 
+def test_ivf_tiny_corpus_degrades(spark):
+    """Fewer vectors than n_centroids clamps to one list per vector
+    instead of crashing; empty input raises a clear error."""
+    import pytest
+
+    from ner_ocr_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ivf_topk(emb, q, k=2, n_centroids=8, n_probe=8).collect()
+    assert any(r["vec_id"] == 0 and r["rank"] == 1 for r in got)
+    with pytest.raises(ValueError, match="empty"):
+        train_ivf_centroids(emb.filter("vec_id < 0"))
+
+
 def test_ivf_topk_recall_and_exact_limit(spark):
     """IVF: self-retrieval at rank 1, recall grows with n_probe, and
     probing every list reproduces brute force exactly."""

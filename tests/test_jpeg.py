@@ -81,3 +81,26 @@ def test_ocr_error_absorption_truncated_jpeg():
     g = np.full((32, 32), 200, dtype=np.uint8)
     blob = jpeg.encode(g, quality=90)
     assert ocr.ocr_text(blob[: len(blob) // 2]) == ("", 0.0)
+
+
+def test_fill_bytes_before_marker():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    g = np.add.outer(np.arange(16), np.arange(16)).astype(np.uint8)
+    enc = jpeg.encode(g, quality=95)
+    padded = enc[:2] + b"\xff\xff" + enc[2:]
+    assert np.array_equal(jpeg.decode(padded), jpeg.decode(enc))
+
+
+def test_gray_with_nontrivial_sampling_factors():
+    """A single-component scan is non-interleaved per T.81 A.2 — the SOF
+    sampling factors (legally e.g. 0x22 for gray) must be ignored."""
+    g = np.add.outer(np.arange(24), np.arange(40)).astype(np.uint8)
+    enc = bytearray(jpeg.encode(g, quality=95))
+    sof = enc.find(b"\xff\xc0")
+    assert sof > 0
+    hv_off = sof + 2 + 2 + 6 + 1  # marker+len+prec+h+w+ncomp+cid -> hv byte
+    assert enc[hv_off] == 0x11
+    enc[hv_off] = 0x22
+    assert np.array_equal(jpeg.decode(bytes(enc)), jpeg.decode(jpeg.encode(g, quality=95)))
+
+

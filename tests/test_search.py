@@ -74,6 +74,29 @@ def test_unknown_search_type(regions):
         search(regions, "radial")
 
 
+def test_prefilter_fast_keeps_ocr_noisy_matches(spark):
+    """Round-2 self-review catch: OCR confusions (w->vv, m->rn) score
+    >= 0.8 but contain no verbatim query token except one — the fast gate
+    must still pass them (4-gram token presence, not verbatim tokens)."""
+    from pyspark.sql import functions as F
+
+    from ner_ocr_spark.operators.search import fuzzy_prefilter_expr
+
+    noisy = [
+        (0, "vvindow rnerge spark region header"),
+        (1, "wlndow merqe spark"),
+        (2, "totally unrelated text zzz"),
+    ]
+    df = spark.createDataFrame(noisy, "i int, text string")
+    kept = {r["i"] for r in df.filter(
+        fuzzy_prefilter_expr(F.col("text"), "window merge spark", 0.8)
+    ).collect()}
+    assert 0 in kept and 1 in kept
+    assert 2 not in kept
+    for _, t in noisy[:2]:
+        assert score(t, "window merge spark") >= 0.8  # they ARE true matches
+
+
 def test_prefilter_admissible_property():
     """The JVM gate is a true upper bound on partial_ratio: whenever the
     real score clears the threshold, the gate must pass (no false
@@ -124,7 +147,10 @@ def test_prefilter_keeps_semantics_and_bounds_udf(spark):
     query, thr = "window merge spark", 0.8
     total = regs.count()
     kept = regs.filter(fuzzy_prefilter_expr(F.col("text"), query, thr)).count()
-    assert kept <= 0.1 * total, f"prefilter kept {kept}/{total}"
+    # ~89%: the noise-robust 4-gram token gate trades the last percent of
+    # elimination for OCR-noise recall (verbatim tokens hit 90% but
+    # dropped 'vvindow rnerge spark'-style true matches)
+    assert kept <= 0.12 * total, f"prefilter kept {kept}/{total}"
     # ground truth: score EVERY row with the UDF, no prefilter
     truth = {
         (r["doc_id"], r["region_idx"])
