@@ -331,6 +331,18 @@ def q_minhash_sig(spark, sf):  # minhash signature stage, value-checked
     )
 
 
+def q_simhash_sig(spark, sf):  # simhash signature stage, value-checked
+    """The bit-vote signature math against a DuckDB twin (portable
+    md5-based 60-bit base hash; production default is xxhash64/64-bit —
+    same plan, same votes, different base hash)."""
+    from ner_ocr_spark.operators.dedup import md5_hash60, simhash_table
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return simhash_table(docs, base_hash=md5_hash60, n_bits=60).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
 def q_simhash_candidates(spark, sf):  # rows-only
     from ner_ocr_spark.operators.dedup import simhash_candidates
 
@@ -774,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "minhash_sig": q_minhash_sig,
+        "simhash_sig": q_simhash_sig,
         "simhash_candidates": q_simhash_candidates,
         "cosine_topk": q_cosine_topk,
         "embed_neardup": q_embed_neardup,
@@ -805,6 +818,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # 60 bit-vote terms for the simhash oracle, generated (not hand-typed)
+    simhash_bits = " + ".join(
+        "(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1"
+        " THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)".format(b=b)
+        for b in range(60)
+    )
     rect_regions = """
         SELECT l_orderkey, l_linenumber,
                CAST(l_partkey % 100 AS INT) AS x1,
@@ -1003,6 +1022,27 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(hs, h -> (h * 11 + 47514) % 2147483647)) AS mh5,
                    list_min(list_transform(hs, h -> (h * 13 + 55433) % 2147483647)) AS mh6,
                    list_min(list_transform(hs, h -> (h * 15 + 63352) % 2147483647)) AS mh7
+            FROM hashed
+        """,
+        "simhash_sig": f"""
+            WITH grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 1, 1) + 1),
+                           i -> array_to_string(w[i:i+1], ' '))) AS shingles
+                FROM (
+                    SELECT doc_id,
+                           string_split(trim(regexp_replace(lower(text),
+                                             '\\s+', ' ', 'g')), ' ') AS w
+                    FROM documents WHERE doc_id < 50
+                )
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(shingles,
+                           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+                FROM grams
+            )
+            SELECT doc_id, ({simhash_bits}) AS simhash
             FROM hashed
         """,
         "cosine_topk": """

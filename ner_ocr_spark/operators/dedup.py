@@ -252,31 +252,43 @@ def simhash64(hashed_col: Column) -> Column:
 
 def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    base_hash=None, n_bits: int = 64, shingle_n: int = 2,
 ) -> DataFrame:
-    """(id, simhash) 64-bit SimHash per document."""
-    # exploded-codegen form (see minhash_lsh_pairs): 64 conditional-sum
-    # aggregates beat 64 interpreted HOF folds by an order of magnitude
+    """(id, simhash) n_bits-wide SimHash per document.
+
+    base_hash defaults to xxhash64 (production); the md5-based portable
+    hash (md5_hash60) with n_bits=60 makes the signature oracle-checkable
+    against DuckDB (see q_simhash_sig)."""
+    # exploded-codegen form (see minhash_lsh_pairs): n_bits conditional-sum
+    # aggregates beat n_bits interpreted HOF folds by an order of magnitude
+    base_hash = base_hash or F.xxhash64
     hashed = (
         with_words(df, text_col)
         .select(
             F.col(id_col).alias("id"),
-            F.explode(shingles_from_words(F.col("words"), 2)).alias("sh"),
+            F.explode(shingles_from_words(F.col("words"), shingle_n)).alias("sh"),
         )
-        .select("id", F.xxhash64("sh").alias("h"))
+        .select("id", base_hash(F.col("sh")).alias("h"))
     )
     votes = [
         F.sum(
             F.when(F.shiftright("h", bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{bit}")
-        for bit in range(64)
+        for bit in range(n_bits)
     ]
     packed = None
-    for bit in range(64):
+    for bit in range(n_bits):
         term = F.when(
             F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
         ).otherwise(F.lit(0).cast("long"))
         packed = term if packed is None else packed.bitwiseOR(term)
     return hashed.groupBy("id").agg(*votes).select("id", packed.alias("simhash"))
+
+
+def md5_hash60(col: Column) -> Column:
+    """Portable 60-bit string hash (top 15 hex digits of md5) — the DuckDB
+    twin is CAST('0x' || substr(md5(s),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def _rotl64(col: Column, r: int) -> Column:
