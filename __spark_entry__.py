@@ -316,6 +316,22 @@ def q_minhash_pairs(spark, sf):  # rows-only (hash-seeded candidates)
     return minhash_lsh_pairs(docs)
 
 
+def q_minhash_pairs_md5(spark, sf):  # FULL LSH candidate pairs, value-checked
+    """The entire banded-LSH pair generation (shingle -> signature -> band
+    buckets -> distinct pairs -> est_jaccard) against a DuckDB twin: with
+    the portable md5 base hash every stage is SQL-expressible, so the
+    oracle enumerates all pairs sharing any band and must agree exactly —
+    the rows-only `minhash_pairs` keeps the production xxhash64 plan."""
+    from ner_ocr_spark.operators.dedup import md5_hash31, minhash_lsh_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    # 8 bands of 1 row: high candidate rate, so the oracle compare covers
+    # real pairs (bands of 2 found zero collisions at this corpus size)
+    return minhash_lsh_pairs(
+        docs, num_hashes=8, bands=8, base_hash=md5_hash31
+    )
+
+
 def q_minhash_sig(spark, sf):  # minhash signature stage, value-checked
     """The signature math itself (shingle -> base hash -> affine-min family)
     against a DuckDB twin. Uses the portable md5-based base hash
@@ -786,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "minhash_sig": q_minhash_sig,
+        "minhash_pairs_md5": q_minhash_pairs_md5,
         "simhash_sig": q_simhash_sig,
         "simhash_candidates": q_simhash_candidates,
         "cosine_topk": q_cosine_topk,
@@ -993,6 +1010,48 @@ def oracle_sql() -> dict[str, str]:
             FROM grams l JOIN grams r ON l.block = r.block AND l.id < r.id
             WHERE CAST(len(list_intersect(l.g, r.g)) AS DOUBLE)
                   / len(list_distinct(list_concat(l.g, r.g))) >= 0.3
+        """,
+        "minhash_pairs_md5": """
+            WITH grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 2, 1) + 1),
+                           i -> array_to_string(w[i:i+2], ' '))) AS shingles
+                FROM (
+                    SELECT doc_id,
+                           string_split(trim(regexp_replace(lower(text),
+                                             '\\s+', ' ', 'g')), ' ') AS w
+                    FROM documents WHERE doc_id < 150
+                )
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(shingles,
+                           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                                % 2147483648) AS hs
+                FROM grams
+            ), sig AS (
+                SELECT doc_id,
+                   list_min(list_transform(hs, h -> (h *  1 +  7919) % 2147483647)) AS mh0,
+                   list_min(list_transform(hs, h -> (h *  3 + 15838) % 2147483647)) AS mh1,
+                   list_min(list_transform(hs, h -> (h *  5 + 23757) % 2147483647)) AS mh2,
+                   list_min(list_transform(hs, h -> (h *  7 + 31676) % 2147483647)) AS mh3,
+                   list_min(list_transform(hs, h -> (h *  9 + 39595) % 2147483647)) AS mh4,
+                   list_min(list_transform(hs, h -> (h * 11 + 47514) % 2147483647)) AS mh5,
+                   list_min(list_transform(hs, h -> (h * 13 + 55433) % 2147483647)) AS mh6,
+                   list_min(list_transform(hs, h -> (h * 15 + 63352) % 2147483647)) AS mh7
+                FROM hashed
+            )
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   round((CAST(l.mh0 = r.mh0 AS INT) + CAST(l.mh1 = r.mh1 AS INT)
+                        + CAST(l.mh2 = r.mh2 AS INT) + CAST(l.mh3 = r.mh3 AS INT)
+                        + CAST(l.mh4 = r.mh4 AS INT) + CAST(l.mh5 = r.mh5 AS INT)
+                        + CAST(l.mh6 = r.mh6 AS INT) + CAST(l.mh7 = r.mh7 AS INT))
+                        / 8.0, 4) AS est_jaccard
+            FROM sig l JOIN sig r
+              ON l.doc_id < r.doc_id
+             AND (l.mh0 = r.mh0 OR l.mh1 = r.mh1 OR l.mh2 = r.mh2
+               OR l.mh3 = r.mh3 OR l.mh4 = r.mh4 OR l.mh5 = r.mh5
+               OR l.mh6 = r.mh6 OR l.mh7 = r.mh7)
         """,
         "minhash_sig": """
             WITH grams AS (

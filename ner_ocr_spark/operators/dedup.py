@@ -156,6 +156,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    base_hash=None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -169,7 +170,7 @@ def minhash_lsh_pairs(
     id_a/id_b joins reuse that partitioning instead of re-shuffling the
     big side."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, base_hash)
     banded = sig.select(
         "id",
         F.explode(
