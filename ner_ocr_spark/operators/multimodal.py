@@ -100,13 +100,37 @@ def image_features_stage() -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.Dat
     return stage
 
 
+def _wav_features(payload: bytes) -> tuple[int, int, float]:
+    """REAL decode for RIFF/PCM WAV (stdlib wave + numpy): duration_ms,
+    sample_rate, rms of the normalized signal."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        frames = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit WAV unsupported")
+    rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+    return int(round(n * 1000 / sr)), sr, round(rms, 4)
+
+
 def audio_features_stage(
     deterministic_fake: bool = False,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
-    """STUB: no audio codec in this container. Default: per-row
-    NotImplementedError absorbed into the error column (plumbing exercised,
-    decode honest about being absent). deterministic_fake=True emits seeded
-    features for end-to-end shape tests."""
+    """Audio decode: REAL for RIFF/PCM WAV (stdlib wave — duration, sample
+    rate, rms); compressed formats (mp3/ogg/aac) have no codec in this
+    container and raise per row into the error column (honest absorption).
+    deterministic_fake=True emits seeded features for end-to-end shape
+    tests regardless of payload."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -119,14 +143,24 @@ def audio_features_stage(
                     out["sample_rate"].append(16000)
                     out["rms"].append(round((s % 1000) / 1000.0, 4))
                     out["error"].append(None)
-                else:
+                    continue
+                try:
+                    payload = bytes(row.payload) if row.payload is not None else b""
+                    if payload[:4] != b"RIFF":
+                        raise NotImplementedError(
+                            "compressed audio decode requires a codec "
+                            "library not present in this environment"
+                        )
+                    dur, sr, rms = _wav_features(payload)
+                    out["duration_ms"].append(dur)
+                    out["sample_rate"].append(sr)
+                    out["rms"].append(rms)
+                    out["error"].append(None)
+                except Exception as e:  # noqa: BLE001 — M6 absorption
                     out["duration_ms"].append(None)
                     out["sample_rate"].append(None)
                     out["rms"].append(None)
-                    out["error"].append(
-                        "NotImplementedError: audio decode requires a codec "
-                        "library not present in this environment"
-                    )
+                    out["error"].append(f"{type(e).__name__}: {e}")
             yield pd.DataFrame(out)
 
     return stage

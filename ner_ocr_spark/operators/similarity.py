@@ -99,19 +99,39 @@ def lsh_topk(
     k: int = 5,
     dim: int = 64,
     n_planes: int = 8,
+    multi_probe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     qvec_col: str = "query_vec",
 ) -> DataFrame:
     """Approximate top-k: SRP-bucket both sides, equi-join on bucket, exact
-    cosine re-rank inside buckets. Recall grows with fewer planes /
-    multi-probe; this is the single-table variant."""
+    cosine re-rank inside buckets.
+
+    multi_probe (default on, round-2): each query additionally probes
+    every bucket at Hamming distance 1 from its own — near-plane queries
+    stop missing neighbours that landed one sign-bit away, at n_planes+1
+    broadcast probe rows per query (the VECTORS side still maps once and
+    never shuffles; only the tiny query side fans out)."""
     planes = _hyperplanes(dim, n_planes)
     v = vectors.withColumn("bucket", srp_bucket_expr(F.col(vec_col), planes))
-    q = F.broadcast(
-        queries.withColumn("bucket", srp_bucket_expr(F.col(qvec_col), planes))
-    )
+    qb = srp_bucket_expr(F.col(qvec_col), planes)
+    if multi_probe:
+        # flip masks via a HOF so the 512-term bucket expression appears
+        # ONCE in the plan (an F.array of qb^bit copies duplicated it
+        # n_planes+1 times and blew the 64 KB codegen method limit)
+        masks = F.array(F.lit(0).cast("long"), *[
+            F.lit(1 << i).cast("long") for i in range(n_planes)
+        ])
+        probes = F.transform(masks, lambda m: qb.bitwiseXOR(m))
+        q = F.broadcast(
+            queries.select(qid_col, qvec_col, F.explode(probes).alias("bucket"))
+        )
+    else:
+        q = F.broadcast(queries.withColumn("bucket", qb))
+    # no distinct needed: a vector owns ONE bucket and the probe buckets
+    # are pairwise different, so each (query, vector) pair meets at most
+    # once — a distinct() here would buy nothing and cost a shuffle
     scored = v.join(q, "bucket").select(
         qid_col,
         id_col,

@@ -108,6 +108,37 @@ def test_topk_self_is_best_and_lsh_agrees(spark):
     assert any(r["vec_id"] == 7 and r["rank"] == 1 for r in approx)
 
 
+def test_lsh_multi_probe_recall(spark):
+    """Multi-probe (Hamming-1 query fan-out) recalls at least as much of
+    the brute-force top-k as the single-bucket table, and strictly more
+    somewhere on a near-plane query set."""
+    import math
+
+    from ner_ocr_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    vecs = [(i, [math.cos(0.07 * i * (j + 1)) for j in range(8)])
+            for i in range(80)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id in (3, 11, 29, 47)").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {}
+    for r in brute_force_topk(emb, q, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(multi):
+        got = {}
+        for r in lsh_topk(emb, q, k=5, dim=8, n_planes=6,
+                          multi_probe=multi).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(got.get(qid, set()) & t) for qid, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    single, multi = recall(False), recall(True)
+    assert multi >= single
+    assert multi >= 0.5  # multi-probe must recall at least half of truth
+
+
 def test_ivf_tiny_corpus_degrades(spark):
     """Fewer vectors than n_centroids clamps to one list per vector
     instead of crashing; empty input raises a clear error."""

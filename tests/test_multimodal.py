@@ -37,6 +37,35 @@ def test_audio_stub_absorbs_and_fake_works(spark):
     assert fake.asDict() == fake2.asDict()  # deterministic
 
 
+def test_audio_wav_real_decode(spark):
+    """PCM WAV decodes for REAL (stdlib wave): duration, sample rate, and
+    the rms of a known sine wave."""
+    import io
+    import math
+    import struct
+    import wave
+
+    sr, n = 8000, 4000  # 500 ms
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        amp = 0.5
+        w.writeframes(b"".join(
+            struct.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * 440 * t / sr)))
+            for t in range(n)
+        ))
+    rows = [("wav1", "audio", bytearray(buf.getvalue()), "audio/wav")]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.audio_features(media).collect()[0]
+    assert got["error"] is None
+    assert got["sample_rate"] == sr
+    assert got["duration_ms"] == 500
+    # rms of a sine of amplitude a is a/sqrt(2)
+    assert abs(got["rms"] - 0.5 / math.sqrt(2)) < 0.01
+
+
 def test_frame_sampling_expansion_composes_with_image_stage(spark):
     media = _media_df(spark)
     frames = mm.sample_frames(media, n_frames=3, deterministic_fake=True)
