@@ -47,11 +47,18 @@ def load_gazetteer(path: str | None) -> list[tuple[str, str]] | None:
         return None
     out = []
     with open(path) as f:
-        for line in f:
+        for i, line in enumerate(f):
             line = line.strip()
-            if line and not line.startswith("#"):
-                surface, etype = line.rsplit(",", 1)
-                out.append((surface.strip(), etype.strip()))
+            if not line or line.startswith("#"):
+                continue
+            surface, etype = line.rsplit(",", 1)
+            surface, etype = surface.strip(), etype.strip()
+            # a conventional header line is metadata, not an entity
+            if i == 0 and (surface.lower(), etype.lower()) in (
+                ("surface", "entity_type"), ("surface", "type"),
+            ):
+                continue
+            out.append((surface, etype))
     return out
 
 
