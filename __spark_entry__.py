@@ -600,6 +600,26 @@ def q_tpch_q1(spark, sf):  # showcase agg (bench headline)
     )
 
 
+def q_tpch_q3(spark, sf):  # 3-way join + agg + deterministic top-k
+    """TPC-H Q3 shape (no o_shippriority column in this corpus): the small
+    filtered dimension broadcasts, the fact join stays shuffle-side, AQE
+    picks the order. Tie-broken LIMIT so the top-10 is deterministic."""
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+    )
+
+
 def q_percentiles(spark, sf):  # exact quantiles per group
     li = _t(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -821,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_json": q_entity_json,
         "image_features": q_image_features,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
         "percentiles": q_percentiles,
         "pivot": q_pivot,
         "rollup": q_rollup,
@@ -1257,6 +1278,20 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id ASC) AS rank
                 FROM events
             ) WHERE rank <= 3
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
         """,
         "percentiles": """
             SELECT l_returnflag,
