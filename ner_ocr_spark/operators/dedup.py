@@ -74,29 +74,6 @@ def shingles(col: Column, n: int = 3) -> Column:
     return shingles_from_words(F.split(normalize_for_dedup(col), " "), n)
 
 
-def shingle_hashes(shingle_col: Column) -> Column:
-    """Per-shingle 31-bit base hashes — computed ONCE per row and
-    materialized as a column so the k affine minhash maps iterate a small
-    int array instead of re-hashing strings k times."""
-    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
-
-
-def minhash_signature(hashed_col: Column, num_hashes: int = 32) -> Column:
-    """num_hashes-wide minhash signature over pre-hashed shingles (see
-    shingle_hashes): min over the affine family (a*h+b) mod Mersenne."""
-    def _minhash(a: int, b: int):
-        # closure factory: pyspark counts every lambda param as a HOF arg,
-        # so the coefficients must be captured, not default-arg'd
-        return F.array_min(
-            F.transform(
-                hashed_col,
-                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)),
-            )
-        )
-
-    return F.array(*[_minhash(2 * i + 1, 7919 * (i + 1)) for i in range(num_hashes)])
-
-
 def md5_hash31(col: Column) -> Column:
     """Portable 31-bit string hash: top 60 bits of md5 reduced mod 2^31.
     Identical in DuckDB as `CAST('0x' || substr(md5(s),1,15) AS BIGINT) %
@@ -220,35 +197,6 @@ def minhash_lsh_pairs(
             F.round(eq / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
         )
     )
-
-
-def simhash64(hashed_col: Column) -> Column:
-    """64-bit SimHash over pre-hashed shingles (full-range xxhash64 values):
-    bitwise majority vote, pure expressions — for each bit, sum +-1 over
-    shingles, take sign. Pass a MATERIALIZED column (one select upstream)
-    or the per-shingle hash re-evaluates 64 times."""
-
-    def _vote(bit: int):
-        return F.aggregate(
-            hashed_col,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
-        )
-
-    # shiftleft instead of a python literal: 1 << 63 exceeds int64 range
-    bits = [
-        F.when(
-            _vote(bit) > 0, F.shiftleft(F.lit(1).cast("long"), bit)
-        ).otherwise(F.lit(0).cast("long"))
-        for bit in range(64)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
 
 
 def simhash_table(
