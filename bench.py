@@ -56,7 +56,7 @@ def main() -> None:
         # Catalyst prune projections/collect_lists and under-measure)
         df.write.format("noop").mode("overwrite").save()
 
-    def best_of(make_df, reps: int = 3) -> float:
+    def best_of(make_df, reps: int = 5) -> float:
         # single-shot second-scale timings swing 3-8x on a busy 32-core
         # box; min-of-3 after a warm-up is the stable steady-state figure
         run_full(make_df())  # warm (codegen compile + python workers)
@@ -92,7 +92,7 @@ def main() -> None:
                 "docs_per_sec": round(n_out / e2e, 2) if e2e > 0 else None,
                 "n_docs": n_docs,
                 "cpus": CPUS,
-                "timing": "steady-state, min of 3 reps post warm-up",
+                "timing": "steady-state, min of 5 reps post warm-up",
             }
         )
     )
