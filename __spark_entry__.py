@@ -25,6 +25,8 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from ner_ocr_spark.operators.normalize import WS_RUN  # noqa: E402
+
 _SHIPPED: set[int] = set()
 
 
@@ -71,7 +73,7 @@ def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MUST be a materialized column: inline split()-in-lambda re-evaluates
     # the regex per chunk element (interpreted HOF, ~ms/row).
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "words", F.split(F.trim(F.col("text")), r"\s+")
+        "words", F.split(F.trim(F.col("text")), WS_RUN)
     )
     words = F.col("words")
     n_chunks_expr = F.ceil(F.size(words) / F.lit(8)).cast("int")
@@ -466,7 +468,7 @@ def q_fingerprint(spark, sf):  # winnowing fingerprint, value-checked
 
 def q_explode_1n(spark, sf):  # S3 1:N expansion (pdf -> pages analog)
     docs = _t(spark, sf, "documents")
-    pieces = F.split(F.col("text"), r"\s+")
+    pieces = F.split(F.col("text"), WS_RUN)
     return docs.select(
         "doc_id", F.posexplode(pieces).alias("piece_idx", "piece")
     ).select("doc_id", "piece_idx", F.length("piece").alias("piece_len"))
@@ -748,7 +750,8 @@ def q_stream_metrics(spark, sf):  # Structured Streaming windowed agg
         agg.writeStream.outputMode("complete").format("memory")
         .queryName(name).trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise TimeoutError("stream_metrics stream did not drain in 300 s")
     return spark.table(name).select(
         F.unix_timestamp("win_start").alias("win_start"),
         "event_type", "n", "v",
@@ -782,12 +785,19 @@ def q_stateful_sessions(spark, sf):  # applyInPandasWithState, value-checked
         sessions.writeStream.outputMode("append").format("memory")
         .queryName(name).trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise TimeoutError("stateful_sessions stream did not drain in 300 s")
+    # session ordinal recomputed from start_epoch, NOT the operator's
+    # state-local session_id: state ids restart at 0 after a timeout flush,
+    # so their oracle parity silently assumed the whole file lands in one
+    # microbatch (round-2 ADVICE). row_number over start_epoch is identical
+    # under any microbatch split.
+    w = Window.partitionBy("user_id").orderBy("start_epoch")
     return spark.table(name).select(
-        "user_id", "session_id",
+        "user_id",
         F.col("n_events").cast("long").alias("n_events"),
         "start_epoch", "end_epoch",
-    )
+    ).withColumn("session_seq", F.row_number().over(w) - 1)
 
 
 def q_extraction_e2e(spark, sf):  # the engine itself, rows-only oracle
@@ -1016,13 +1026,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents
-            GROUP BY trim(regexp_replace(lower(substr(text, 1, 30)), '\\s+', ' ', 'g'))
+            GROUP BY trim(regexp_replace(lower(substr(text, 1, 30)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
         """,
         "ngram_jaccard": """
             WITH grams AS (
                 SELECT doc_id AS id, lang AS block,
                        list_distinct(string_split_regex(trim(regexp_replace(
-                           lower(text), '\\s+', ' ', 'g')), ' ')) AS g
+                           lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS g
                 FROM documents WHERE doc_id < 100
             )
             SELECT l.id AS id_a, r.id AS id_b,
@@ -1041,7 +1051,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM (
                     SELECT doc_id,
                            string_split(trim(regexp_replace(lower(text),
-                                             '\\s+', ' ', 'g')), ' ') AS w
+                                             '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
                     FROM documents WHERE doc_id < 150
                 )
             ), hashed AS (
@@ -1083,7 +1093,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM (
                     SELECT doc_id,
                            string_split(trim(regexp_replace(lower(text),
-                                             '\\s+', ' ', 'g')), ' ') AS w
+                                             '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
                     FROM documents WHERE doc_id < 50
                 )
             ), hashed AS (
@@ -1113,7 +1123,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM (
                     SELECT doc_id,
                            string_split(trim(regexp_replace(lower(text),
-                                             '\\s+', ' ', 'g')), ' ') AS w
+                                             '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
                     FROM documents WHERE doc_id < 50
                 )
             ), hashed AS (
@@ -1158,12 +1168,12 @@ def oracle_sql() -> dict[str, str]:
         "quality_features": """
             WITH base AS (
                 SELECT doc_id, text, length(text) AS n_chars,
-                       len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+                       len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS n_words,
                        len(list_intersect(
-                           list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                           list_distinct(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')),
                            ['the','a','of','and','to','in','is','on','for','with']))
                            AS stopword_hits,
-                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                       length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g'))
                            AS n_punct
                 FROM documents
             )
@@ -1181,7 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             SELECT doc_id,
-                   CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+                   CAST(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
                        AS n_ws_tokens,
                    CAST(list_sum(list_transform(
                         string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -1199,7 +1209,7 @@ def oracle_sql() -> dict[str, str]:
                        len(list_intersect(w, ['el','y','la','es','con'])) AS h_es,
                        len(list_intersect(w, ['de','shi','he','zai','le'])) AS h_zh
                 FROM (SELECT doc_id,
-                             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                             list_distinct(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
                       FROM documents)
             )
             SELECT doc_id,
@@ -1214,7 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             WITH n AS (
                 SELECT doc_id,
-                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                       trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
                 FROM documents
             ), h AS (
                 SELECT doc_id,
@@ -1237,7 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "explode_1n": """
             WITH p AS (SELECT doc_id,
-                              string_split_regex(text, '\\s+') AS pieces
+                              string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+') AS pieces
                        FROM documents)
             SELECT doc_id, CAST(i - 1 AS INT) AS piece_idx,
                    length(pieces[i]) AS piece_len
@@ -1366,7 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         "extraction_text_branch": """
             WITH base AS (
                 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                       string_split_regex(trim(text), '\\s+') AS words
+                       string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS words
                 FROM documents
             ), chunked AS (
                 SELECT doc_id,
@@ -1422,9 +1432,11 @@ def oracle_sql() -> dict[str, str]:
                        max(sid) OVER (PARTITION BY user_id) AS max_sid
                 FROM sess GROUP BY user_id, sid
             )
-            SELECT user_id, CAST(sid AS INT) AS session_id,
+            SELECT user_id,
                    CAST(n AS BIGINT) AS n_events,
-                   st AS start_epoch, en AS end_epoch
+                   st AS start_epoch, en AS end_epoch,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY st)
+                        - 1 AS INT) AS session_seq
             FROM agg, mx
             -- emitted iff gap-closed by a later event of the SAME user
             -- (sid < max_sid) OR watermark-closed (m > en + gap + 1):

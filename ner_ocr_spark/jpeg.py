@@ -418,10 +418,18 @@ def decode(data: bytes) -> np.ndarray:
         if marker == 0xFF:  # T.81 B.1.1.2: 0xFF fill bytes before a marker
             pos += 1
             continue
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            # standalone markers carry no length word — a stray SOI (0xD8)
+            # in a corrupt header must not be read as length-prefixed or
+            # the scan desyncs and reports garbage (round-2 ADVICE)
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if seglen < 2:
+            raise ValueError(
+                f"corrupt JPEG header: segment FF{marker:02X} declares "
+                f"length {seglen} < 2"
+            )
         seg = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             i = 0

@@ -26,8 +26,14 @@ _MERSENNE = (1 << 31) - 1
 
 
 def normalize_for_dedup(col: Column) -> Column:
-    """lowercase, collapse whitespace — canonical text for hashing."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    """lowercase, collapse whitespace — canonical text for hashing.
+
+    Uses the pinned ASCII whitespace class (not \\s): DuckDB's RE2 \\s skips
+    vertical tab, so \\s here would hash-diverge the value oracles on any
+    VT-bearing document (round-2 ADVICE)."""
+    from ner_ocr_spark.operators.normalize import WS_RUN
+
+    return F.trim(F.regexp_replace(F.lower(col), WS_RUN, " "))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

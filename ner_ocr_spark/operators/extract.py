@@ -163,6 +163,16 @@ def make_ocr_stage(
                     emit(row.doc_id, int(row.span_idx), base, None, row.media_ref,
                          None, None, "timeout: batch OCR budget exceeded", kind=rk)
                     continue
+                if has_png and row.image_png is None and has_base:
+                    # pdf branch (line_base column present): a successfully
+                    # parsed ZERO-page PDF arrives as one posexplode_outer
+                    # row with NULL image and NULL error. Falling back to
+                    # the resolver here would decode the raw PDF blob as an
+                    # image and manufacture a spurious error row (round-2
+                    # ADVICE) — emit a clean no-lines row instead.
+                    emit(row.doc_id, int(row.span_idx), base, None,
+                         row.media_ref, None, 0.0, None, kind=rk)
+                    continue
                 try:
                     png = (
                         row.image_png

@@ -2,12 +2,14 @@
 
 Driver-brief operators for a training-data pipeline. The Spark-side
 plumbing (schemas, partitioning, Arrow batch shape, UDF signatures) is real
-and tested; payload *decoding* is real only for grayscale PNG (the codec in
-ner_ocr_spark.png — no image/audio libs in this container). Audio decode
-and video frame extraction are STUBBED: by default they raise
-NotImplementedError per row (absorbed into the error column); with
-`deterministic_fake=True` they emit seeded fake features so the pipeline
-shape is testable end-to-end.
+and tested. Payload *decoding* is real for images — PNG in every 8-bit
+color type (gray / RGB / palette / alpha, ner_ocr_spark.png) and baseline
+JPEG 4:4:4 / 4:2:0 (ner_ocr_spark.jpeg), dispatched by format sniffing in
+ner_ocr_spark.imageio — and for PCM-WAV audio (stdlib `wave` in
+`_wav_features`). Compressed audio (mp3/ogg/…) and video frame extraction
+remain STUBBED: by default they raise NotImplementedError per row (absorbed
+into the error column); with `deterministic_fake=True` they emit seeded
+fake features so the pipeline shape is testable end-to-end.
 
 All stages are mapInPandas over (media_ref, kind, payload) — payload bytes
 never shuffle (the stage is map-only; any downstream join moves features,

@@ -17,6 +17,14 @@ from pyspark.sql import functions as F
 # in lockstep (round-1 ADVICE)
 EDGE_WS = r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$"
 
+# whitespace-RUN class for collapse/split normalizers (dedup, fingerprint,
+# token stats). Behaviorally identical to Java's \s, but DuckDB's RE2 \s
+# does NOT match vertical tab (\x0B) — a VT in a document would silently
+# hash-diverge every value-checked oracle built on the normalizer (round-2
+# ADVICE). The explicit class keeps both engines in lockstep; the oracle
+# SQL twins carry it verbatim.
+WS_RUN = r"[ \t\n\x0B\f\r]+"
+
 
 def normalize_expr(col: Column) -> Column:
     """Strip [[boilerplate]], collapse space runs, trim around newlines and

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ner_ocr_spark.operators.normalize import WS_RUN
+
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 
 # tiny per-language marker lexicons for the n-gram/lexicon language-ID
@@ -25,7 +27,8 @@ _LANG_MARKERS = {
 
 
 def words_expr(col: Column) -> Column:
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    # pinned ASCII ws class, not \s: RE2 (DuckDB oracle) \s skips \x0B
+    return F.split(F.trim(F.lower(col)), WS_RUN)
 
 
 def token_count_ws(col: Column) -> Column:
@@ -56,7 +59,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w \t\n\x0B\f\r]", ""))
     mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
     return df.withColumns(
         {
@@ -130,7 +133,7 @@ def fingerprint(
     dedup.md5_hash31-style portable hashes make it oracle-checkable."""
     base_hash = base_hash or F.xxhash64
     norm_col, hs_col = "_fp_norm", "_fp_hs"
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_RUN, " "))
     # materialize norm and the k-gram hash array: HOF lambdas re-evaluate
     # inline subexpressions per element (CLAUDE.md sharp edge)
     out = df.withColumn(norm_col, norm)
