@@ -380,7 +380,7 @@ def q_cosine_topk(spark, sf):
     return brute_force_topk(emb, queries, k=5)
 
 
-def q_lsh_topk(spark, sf):  # rows-only (approximate)
+def q_lsh_topk(spark, sf):  # value-checked: seeded hyperplanes fold into SQL
     from ner_ocr_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf, "embeddings").select(
@@ -392,7 +392,7 @@ def q_lsh_topk(spark, sf):  # rows-only (approximate)
     return lsh_topk(emb, queries, k=5)
 
 
-def q_ivf_topk(spark, sf):  # rows-only (k-means quantizer not SQL-expressible)
+def q_ivf_topk(spark, sf):  # value-checked: trained centroids fold into SQL
     from ner_ocr_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf, "embeddings").select(
@@ -402,6 +402,44 @@ def q_ivf_topk(spark, sf):  # rows-only (k-means quantizer not SQL-expressible)
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+
+
+def _ivf_oracle_sql() -> str | None:
+    """Generate the ivf_topk DuckDB twin: replicate the Spark trainer's
+    deterministic sample (first 2048 vectors by vec_id, float->double) in
+    numpy via the SAME lloyd_kmeans, then fold the resulting centroids into
+    the argmin/probe SQL as literals (round-2 verdict #1 — the quantizer IS
+    SQL-expressible once the trained centroids are constants). The driver
+    compares at sf0.01; SPARK_GRAFT_ORACLE_SF_DIR overrides for local runs.
+    Returns None (rows-only fallback) if the parquet is unreadable."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from ner_ocr_spark.operators.similarity import (
+        ivf_topk_oracle_sql,
+        lloyd_kmeans,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = Path(sf) / "embeddings.parquet"
+    if not path.exists():
+        return None
+    try:
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet(?) "
+            "ORDER BY vec_id LIMIT 2048",
+            [str(path)],
+        ).fetchall()
+        con.close()
+    except Exception:  # noqa: BLE001 — degrade to rows-only, never crash
+        return None
+    if not rows:
+        return None
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    return ivf_topk_oracle_sql(lloyd_kmeans(x, 8), k=5, n_probe=3)
 
 
 def q_embed_neardup(spark, sf):  # embedding-cosine near-dup (exact, blocked)
@@ -811,6 +849,25 @@ def q_extraction_e2e(spark, sf):  # the engine itself, rows-only oracle
     )
 
 
+# the exhaustive rows-only ledger: every queries() entry WITHOUT an
+# oracle_sql() twin must appear here with its justification — pinned by
+# tests/test_entry_contract.py so no future query lands unverified
+# (round-2 verdict #9).
+ROWS_ONLY: dict[str, str] = {
+    "minhash_pairs": "production xxhash64 base hash has no DuckDB twin; the"
+    " md5-based minhash_pairs_md5 value-checks the identical banded plan",
+    "simhash_candidates": "xxhash64 token hashing not reproducible in DuckDB;"
+    " simhash_sig value-checks the signature math on the md5 path",
+    "semantic_search": "difflib partial-ratio python kernel (F2) below the"
+    " JVM prefilter is not SQL-expressible; pytest pins kernel parity",
+    "image_features": "python image decode (PNG/JPEG codecs) not"
+    " SQL-expressible; pytest pins decode + feature values",
+    "extraction_e2e": "the OCR kernel itself (Otsu/deskew/segment/match) is"
+    " the system under test; span-sequence equality vs render truth is"
+    " pinned by pytest against ner_ocr_spark/oracle.py",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kind_route": q_kind_route,
@@ -880,7 +937,7 @@ def oracle_sql() -> dict[str, str]:
                CAST((l_suppkey % 100) + 5 AS INT) AS y2
         FROM lineitem
     """
-    return {
+    out = {
         "kind_route": """
             SELECT CASE WHEN lang = 'en' THEN 'text' ELSE 'media' END AS kind,
                    count(*) AS n_spans
@@ -1456,3 +1513,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
     }
+    # ANN value-twins (round-2 verdict #1): both approximate-search queries
+    # are SQL-expressible once their "model" state is folded in as literals
+    # — the SRP hyperplanes are seeded constants, the IVF centroids are
+    # retrained identically from the same deterministic sample.
+    from ner_ocr_spark.operators.similarity import lsh_topk_oracle_sql
+
+    out["lsh_topk"] = lsh_topk_oracle_sql(k=5, dim=64, n_planes=8)
+    ivf = _ivf_oracle_sql()
+    if ivf is not None:
+        out["ivf_topk"] = ivf
+    return out

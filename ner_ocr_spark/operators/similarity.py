@@ -169,6 +169,15 @@ def train_ivf_centroids(
     x = np.array([r[0] for r in rows], dtype=np.float64)
     if dim is not None and x.shape[1] != dim:
         raise ValueError(f"expected dim {dim}, got {x.shape[1]}")
+    return lloyd_kmeans(x, n_centroids, iters=iters, seed=seed)
+
+
+def lloyd_kmeans(
+    x: np.ndarray, n_centroids: int, iters: int = 10, seed: str = "ivf"
+) -> np.ndarray:
+    """Seeded Lloyd iteration over an in-memory float64 sample. Shared by
+    the Spark trainer and the DuckDB oracle generator so both sides hold
+    BITWISE-identical centroids (the oracle folds them in as literals)."""
     # degrade gracefully on tiny corpora: one list per vector at most
     n_centroids = min(n_centroids, len(x))
     h = hashlib.sha256(f"{seed}|{n_centroids}|{x.shape}".encode()).digest()
@@ -225,6 +234,117 @@ def ivf_probe_udf(centroids: np.ndarray, n_probe: int):
         return pd.Series([row.astype("int32").tolist() for row in order])
 
     return _probe
+
+
+def _sql_double_list(vals) -> str:
+    """DuckDB DOUBLE[] literal with full round-trip precision (repr of a
+    python float is the shortest string that parses back to the same
+    double under correct rounding, which DuckDB's DECIMAL->DOUBLE and
+    scientific-notation paths both honor)."""
+    return "CAST([" + ", ".join(repr(float(v)) for v in vals) + "] AS DOUBLE[])"
+
+
+def lsh_topk_oracle_sql(
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    multi_probe: bool = True,
+    emb_table: str = "embeddings",
+    query_pred: str = "vec_id < 3",
+) -> str:
+    """DuckDB value-twin of lsh_topk. The hyperplanes are deterministic
+    seeded literals (the same _hyperplanes call), so SRP bucketing IS
+    SQL-expressible (round-2 verdict): fold the plane coefficients in as
+    DOUBLE[] literals, pack sign bits, expand the Hamming-1 probe masks
+    with xor, and re-rank with the exact cosine — same shape as the Spark
+    plan. Only cross-engine float risk: a plane dot within one ulp of 0
+    flipping a sign bit (probability ~0 on continuous data)."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket_terms = "\n                 + ".join(
+        f"(CASE WHEN list_dot_product(e, {_sql_double_list(p)}) >= 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    )
+    masks = [0] + ([1 << i for i in range(n_planes)] if multi_probe else [])
+    mask_list = ", ".join(f"CAST({m} AS BIGINT)" for m in masks)
+    return f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                     FROM {emb_table}),
+        v AS (SELECT vec_id, e, {bucket_terms} AS bucket FROM emb),
+        q AS (SELECT vec_id AS query_id, e AS qv, bucket AS qb
+              FROM v WHERE {query_pred}),
+        probes AS (
+            SELECT query_id, qv, xor(qb, m) AS bucket
+            FROM q, LATERAL (SELECT unnest([{mask_list}]) AS m) t
+        ),
+        scored AS (
+            SELECT p.query_id, v.vec_id,
+                   round(list_dot_product(v.e, p.qv)
+                         / (sqrt(list_dot_product(v.e, v.e))
+                            * sqrt(list_dot_product(p.qv, p.qv))), 4) AS cosine
+            FROM v JOIN probes p USING (bucket)
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def ivf_topk_oracle_sql(
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    emb_table: str = "embeddings",
+    query_pred: str = "vec_id < 3",
+) -> str:
+    """DuckDB value-twin of ivf_topk for a GIVEN trained centroid set —
+    the caller trains the identical centroids via lloyd_kmeans over the
+    same deterministic sample and this folds them in as literals.
+    Assignment is argmax(v.c - |c|^2/2) with ties to the LOWER centroid id:
+    list_position(s, list_max(s)) picks the first maximum exactly like
+    numpy argmax in ivf_assign_udf."""
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    half_norms = (c * c).sum(axis=1) / 2.0
+    score_terms = ",\n                   ".join(
+        f"list_dot_product(e, {_sql_double_list(cc)})"
+        f" - CAST({float(h)!r} AS DOUBLE)"
+        for cc, h in zip(c, half_norms)
+    )
+    n_cent = len(c)
+    return f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                     FROM {emb_table}),
+        sc AS (SELECT vec_id, e,
+                  [{score_terms}] AS s
+               FROM emb),
+        v AS (SELECT vec_id, e,
+                     CAST(list_position(s, list_max(s)) - 1 AS INT) AS _ivf
+              FROM sc),
+        q AS (SELECT vec_id AS query_id, e AS qv, s AS qs
+              FROM sc WHERE {query_pred}),
+        probes AS (
+            SELECT query_id, qv, CAST(c AS INT) AS _ivf FROM (
+                SELECT query_id, qv, c,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY qs[c + 1] DESC, c ASC) AS pr
+                FROM q, LATERAL (SELECT unnest(range(0, {n_cent})) AS c) t
+            ) WHERE pr <= {n_probe}
+        ),
+        scored AS (
+            SELECT p.query_id, v.vec_id,
+                   round(list_dot_product(v.e, p.qv)
+                         / (sqrt(list_dot_product(v.e, v.e))
+                            * sqrt(list_dot_product(p.qv, p.qv))), 4) AS cosine
+            FROM v JOIN probes p USING (_ivf)
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
 
 
 def ivf_topk(
