@@ -55,11 +55,17 @@ def test_sniff_and_dispatch():
         decode_image(b"not an image")
 
 
-def test_decode_rejects_progressive_marker():
-    # SOI + SOF2 (progressive) header must raise, not mis-decode
-    data = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
-    with pytest.raises(ValueError):
-        jpeg.decode(data)
+def test_decode_rejects_unsupported_coding_processes():
+    # lossless (SOF3) and arithmetic (SOF9) must raise distinctly, and a
+    # progressive header with no scans is a truncation error, not garbage
+    for sof in (0xC3, 0xC9):
+        data = bytes([0xFF, 0xD8, 0xFF, sof]) + \
+            b"\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        with pytest.raises(ValueError, match="unsupported JPEG coding"):
+            jpeg.decode(data)
+    trunc = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    with pytest.raises(ValueError, match="no SOS"):
+        jpeg.decode(trunc)
 
 
 @pytest.mark.parametrize("i", range(3))
