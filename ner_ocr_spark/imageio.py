@@ -1,4 +1,5 @@
-"""Format-sniffing image decode: PNG or baseline JPEG from raw bytes.
+"""Format-sniffing image decode: PNG (all depths/color types, Adam7) or
+JPEG (baseline + progressive) from raw bytes.
 
 The media-blob contract everywhere in the engine is "bytes in a BinaryType
 column"; this module picks the codec from the magic bytes — mirroring the

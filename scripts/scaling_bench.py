@@ -1,8 +1,17 @@
 """Scaling-efficiency evidence (north rule: >=0.8 from N to 4N executors).
 
-No real cluster in this sandbox, so the same job runs at local[8] and
-local[32] on identical input (driver instruction) and reports docs/sec at
-both plus efficiency = (T_8 / T_32) / 4. Results are written into BENCH.md.
+No real cluster in this sandbox, so the same job runs at two parallelism
+levels on identical input (driver instruction) and reports docs/sec at
+both plus efficiency = speedup / (cores_hi / cores_lo). Two modes:
+
+  SCALING_MODE=local (default): local[N] vs local[4N] — thread-level
+  parallelism in one JVM.
+  SCALING_MODE=local-cluster: local-cluster[n_exec, cores_per_exec, mem]
+  — REAL separate executor JVMs with isolated heaps on this box, the
+  closest single-machine analog to the north rule's N -> 4N executors
+  (round-2 verdict #7). Levels are interpreted as TOTAL cores and split
+  into executors of SCALING_EXEC_CORES (default 4) cores each, e.g.
+  4,16 -> local-cluster[1,4,m] vs local-cluster[4,4,m].
 
 Each parallelism level runs in a fresh JVM (spark.stop() + new session with
 a different master does not rebuild the local backend reliably, so this
@@ -36,6 +45,22 @@ _PIN = {"OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
 
 N_DOCS = int(os.environ.get("SCALING_DOCS", "8000"))
 MEDIA_PER_DOC = int(os.environ.get("SCALING_MEDIA", "2"))
+MODE = os.environ.get("SCALING_MODE", "local")
+EXEC_CORES = int(os.environ.get("SCALING_EXEC_CORES", "4"))
+EXEC_MEM_MB = int(os.environ.get("SCALING_EXEC_MEM_MB", "3072"))
+
+
+def _master_for(cores: int) -> tuple[str, dict[str, str]]:
+    if MODE == "local-cluster":
+        n_exec = max(cores // EXEC_CORES, 1)
+        master = f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]"
+        return master, {
+            "spark.executor.memory": f"{EXEC_MEM_MB}m",
+            # ship the repo package to the executor JVMs' python workers
+            "spark.executorEnv.PYTHONPATH":
+                str(Path(__file__).resolve().parent.parent),
+        }
+    return f"local[{cores}]", {}
 
 
 def scaling_corpus(spark, n_docs: int, media_per_doc: int):
@@ -71,9 +96,10 @@ def run_level(cores: int) -> dict:
     from ner_ocr_spark import pipeline
     from ner_ocr_spark.session import get_spark
 
+    master, extra = _master_for(cores)
     spark = get_spark(
-        app_name=f"scaling-{cores}", master=f"local[{cores}]",
-        shuffle_partitions=max(cores, 32),
+        app_name=f"scaling-{cores}", master=master,
+        shuffle_partitions=max(cores, 32), extra=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = scaling_corpus(spark, N_DOCS, MEDIA_PER_DOC).cache()
@@ -114,6 +140,7 @@ def main() -> None:
     ratio = hi["docs_per_sec"] / lo["docs_per_sec"]
     eff = ratio / (hi["cores"] / lo["cores"])
     summary = {
+        "mode": MODE,
         "levels": results,
         "speedup": round(ratio, 3),
         "scaling_efficiency": round(eff, 3),
