@@ -178,6 +178,11 @@ class _BitWriter:
             pad = 8 - self.n
             self.write((1 << pad) - 1, pad)
 
+    def restart(self, idx: int) -> None:
+        """Byte-align (1-padding) and emit RSTn — markers bypass stuffing."""
+        self.flush()
+        self.buf += bytes([0xFF, 0xD0 + (idx % 8)])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """value -> (category, appended bits)."""
@@ -278,11 +283,14 @@ def _plan_components(img: np.ndarray, quality: int, subsampling: str):
     return gray, h, w, planes, quants, samps
 
 
-def encode(img: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+def encode(img: np.ndarray, quality: int = 90, subsampling: str = "444",
+           restart_interval: int = 0) -> bytes:
     """Encode (H,W) grayscale or (H,W,3) RGB uint8 as baseline JFIF
     (Annex K tables scaled by libjpeg-style quality). subsampling: '444'
     (every component full-resolution) or '420' (chroma halved both ways —
-    the common camera/web layout; exercises the decoder's MCU sampling)."""
+    the common camera/web layout; exercises the decoder's MCU sampling).
+    restart_interval > 0 emits DRI + RSTn markers every that many MCUs
+    (the camera-JPEG resync layout; DC predictors reset at each)."""
     gray, h, w, planes, quants, samps = _plan_components(img, quality, subsampling)
     ql, qc = quants[0], quants[-1]
 
@@ -302,8 +310,15 @@ def encode(img: np.ndarray, quality: int = 90, subsampling: str = "444") -> byte
 
     writer = _BitWriter()
     preds = [0] * len(planes)
+    mcu_count = 0
+    rst_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.restart(rst_idx)
+                rst_idx += 1
+                preds = [0] * len(planes)
+            mcu_count += 1
             for ci, p in enumerate(padded):
                 ch, cv = samps[ci]
                 for v in range(cv):
@@ -338,6 +353,8 @@ def encode(img: np.ndarray, quality: int = 90, subsampling: str = "444") -> byte
     if not gray:
         out += _dht_segment(0, 1, DC_CHROMA_SPEC)
         out += _dht_segment(1, 1, AC_CHROMA_SPEC)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp]) + sos_comp + bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     out += writer.buf
@@ -495,6 +512,7 @@ def encode_progressive(
     quality: int = 90,
     subsampling: str = "444",
     scan_script: list[tuple[list[int], int, int, int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode as progressive JFIF (SOF2). scan_script entries are
     (component indexes, Ss, Se, Ah, Al); the default is the libjpeg-style
@@ -528,6 +546,8 @@ def encode_progressive(
     if not gray:
         out += _dht_segment(0, 1, DC_CHROMA_SPEC)
         out += _dht_segment(1, 1, PROG_AC_SPEC)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     for comp_idxs, ss, se, ah, al in scan_script:
         sos = bytes([len(comp_idxs)])
@@ -540,10 +560,25 @@ def encode_progressive(
         writer = _BitWriter()
         state = _EobEncState()
         preds = {ci: 0 for ci in comp_idxs}
+        unit = 0
+        rst = 0
+
+        def unit_tick():
+            # RSTn boundary: flush any pending EOB run + buffered bits,
+            # byte-align, reset DC predictors (T.81 restart semantics)
+            nonlocal unit, rst, preds
+            if restart_interval and unit and unit % restart_interval == 0:
+                _emit_eobrun(writer, state, ac_codes)
+                writer.restart(rst)
+                rst += 1
+                preds = {ci: 0 for ci in comp_idxs}
+            unit += 1
+
         if ss == 0 and len(comp_idxs) > 1:
             # interleaved DC scan: baseline MCU structure
             for my in range(mcuy):
                 for mx in range(mcux):
+                    unit_tick()
                     for ci in comp_idxs:
                         ch, cv = samps[ci]
                         for v in range(cv):
@@ -567,6 +602,7 @@ def encode_progressive(
             bx, by = (cw + 7) // 8, (chh + 7) // 8
             for yb in range(by):
                 for xb in range(bx):
+                    unit_tick()
                     zz = coefs[ci][yb, xb]
                     if ss == 0:
                         if ah == 0:

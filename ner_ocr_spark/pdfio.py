@@ -347,6 +347,32 @@ def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
                    "(FlateDecode or DCTDecode)")
 
 
+def _do_order(objs, page: dict) -> list[str]:
+    """XObject names in the order the page's content stream Do-draws them
+    (empty on any parse trouble — callers fall back to name order)."""
+    contents = page.get("Contents")
+    streams: list[bytes] = []
+    for item in (contents if isinstance(contents, list) else [contents]):
+        if not isinstance(item, Ref) or item.num not in objs:
+            continue
+        value, stream = objs[item.num]
+        if stream is None:
+            continue
+        filters = _filters(value) if isinstance(value, dict) else []
+        try:
+            if filters == ["FlateDecode"]:
+                streams.append(zlib.decompress(stream))
+            elif not filters:
+                streams.append(bytes(stream))
+        except Exception:  # noqa: BLE001 — fall back to name order
+            return []
+    data = b"\n".join(streams)
+    return [
+        m.group(1).decode("latin-1")
+        for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+Do\b", data)
+    ]
+
+
 def extract_page_images(blob: bytes) -> list[np.ndarray]:
     """PDF bytes -> one grayscale uint8 array per page, in page-tree order.
 
@@ -363,21 +389,28 @@ def extract_page_images(blob: bytes) -> list[np.ndarray]:
     for idx, page in enumerate(pages):
         res = _deref(objs, page.get("Resources", {})) or {}
         xobjects = _deref(objs, res.get("XObject", {})) or {}
-        image_items = []
-        for name in sorted(xobjects):
-            ref = xobjects[name]
+        images: dict[str, tuple[dict, bytes | None]] = {}
+        for name, ref in xobjects.items():
             if not isinstance(ref, Ref):
                 continue
             value, stream = objs[ref.num]
             if isinstance(value, dict) and value.get("Subtype") == "Image":
-                image_items.append((value, stream))
-        if not image_items:
+                images[str(name)] = (value, stream)
+        if not images:
             raise PdfError(
                 f"page {idx} has no image XObject — vector/text page is "
                 "outside the extractor subset; plug a rasterizer "
                 "(pypdfium2) via rasterizer="
             )
-        value, stream = image_items[0]
+        # choose by content-stream draw order (first `/Name Do`), the image
+        # a viewer paints first — name-sorted order is only the fallback
+        # when the content stream is absent/undecodable
+        chosen = sorted(images)[0]
+        for name in _do_order(objs, page):
+            if name in images:
+                chosen = name
+                break
+        value, stream = images[chosen]
         if stream is None:
             raise PdfError(f"page {idx}: image XObject has no stream")
         out.append(_decode_image_xobject(objs, value, stream))

@@ -95,6 +95,22 @@ def test_ocr_exact_on_progressive_jpeg_pages(i):
     assert score > 0.8
 
 
+@pytest.mark.parametrize("ri", [1, 2, 5])
+def test_restart_markers_baseline_and_progressive(ri):
+    """DRI/RSTn resync layout (camera JPEGs): predictors and EOB runs
+    reset at every marker; output must equal the unrestarted encoding."""
+    rng = np.random.RandomState(11)
+    g = (rng.rand(48, 80) * 255).astype(np.uint8)
+    c = (rng.rand(37, 61, 3) * 255).astype(np.uint8)
+    for img, sub in ((g, "444"), (c, "420")):
+        plain = jpeg.decode(jpeg.encode(img, quality=88, subsampling=sub))
+        assert np.array_equal(plain, jpeg.decode(
+            jpeg.encode(img, quality=88, subsampling=sub, restart_interval=ri)))
+        assert np.array_equal(plain, jpeg.decode(
+            jpeg.encode_progressive(img, quality=88, subsampling=sub,
+                                    restart_interval=ri)))
+
+
 def test_truncated_progressive_absorbs():
     blob = jpeg.encode_progressive(_rand((32, 32)), quality=90)
     assert ocr.ocr_text(blob[: len(blob) // 3]) == ("", 0.0)

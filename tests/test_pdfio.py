@@ -8,6 +8,9 @@ errors. Reference semantics: /root/reference/src/pdf_processing.py:21-73.
 
 from __future__ import annotations
 
+import re
+import zlib
+
 import numpy as np
 import pytest
 
@@ -101,6 +104,50 @@ def test_reader_survives_xref_damage():
     blob[i + 6 : i + 16] = b"X" * 10  # trash the first xref entries
     pages = pdfio.extract_page_images(bytes(blob))
     assert np.array_equal(pages[0], g)
+
+
+def test_multi_image_page_honors_do_order():
+    """Two image XObjects on one page: the one the content stream draws
+    first (/Im1 Do before /Im0 Do) wins, not the lexicographically-first
+    name."""
+    a = np.full((6, 6), 10, np.uint8)
+    b = np.full((6, 6), 200, np.uint8)
+    blob = pdfio.encode_image_pdf([a])
+    assert b"/Im0 Do" in blob  # fixture content streams are stored raw
+    pages = pdfio.extract_page_images(_add_second_image(blob, b))
+    assert np.array_equal(pages[0], b)
+
+
+def _add_second_image(blob: bytes, img: np.ndarray) -> bytes:
+    """Append an /Im1 image object and rewrite the page (via an appended
+    later definition — the brute scan's later-definition-wins rule) so the
+    content stream draws /Im1 BEFORE /Im0."""
+    h, w = img.shape
+    data = zlib.compress(img.tobytes(), 6)
+    m = re.search(rb"(\d+) 0 obj\n(<< /Type /Page .*?>>)\nendobj", blob, re.S)
+    assert m
+    page_num = int(m.group(1))
+    next_num = max(int(x) for x in re.findall(rb"(\d+) 0 obj", blob)) + 1
+    img_obj = (
+        b"%d 0 obj\n<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (next_num, w, h, len(data), data)
+    )
+    content = b"q %d 0 0 %d 0 0 cm /Im1 Do Q q 6 0 0 6 0 0 cm /Im0 Do Q" % (w, h)
+    content_obj = (
+        b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (next_num + 1, len(content), content)
+    )
+    body = m.group(2)
+    body = re.sub(rb"/XObject << ([^>]*) >>",
+                  b"/XObject << \\1 /Im1 %d 0 R >>" % next_num, body)
+    body = re.sub(rb"/Contents \d+ 0 R",
+                  b"/Contents %d 0 R" % (next_num + 1), body)
+    addendum = (img_obj + content_obj
+                + b"%d 0 obj\n" % page_num + body + b"\nendobj\n")
+    eof = blob.rindex(b"%%EOF")
+    return blob[:eof] + addendum + blob[eof:]
 
 
 def test_pdf_to_pages_operator_with_real_bytes(spark):
