@@ -368,6 +368,26 @@ def q_simhash_candidates(spark, sf):  # rows-only
     return simhash_candidates(docs, prefix_bits=8)
 
 
+def q_simhash_pairs_md5(spark, sf):  # FULL rotation-bucketed candidates, value-checked
+    """Round-3 promotion (mirrors minhash_pairs_md5): the whole Manku
+    rotation-scheme pair generation on the portable md5 base hash. With
+    prefix_bits=16 and 4 rotations at step 16 the prefix windows never
+    wrap the 64-bit word, so each rotation's bucket is a plain
+    right-shift+mask in the DuckDB twin."""
+    from ner_ocr_spark.operators.dedup import (
+        md5_hash60,
+        simhash_bucket_pairs,
+        simhash_table,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    sh = simhash_table(docs, base_hash=md5_hash60, n_bits=60)
+    pairs = simhash_bucket_pairs(sh, prefix_bits=16, rotations=4)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def q_cosine_topk(spark, sf):
     from ner_ocr_spark.operators.similarity import brute_force_topk
 
@@ -857,7 +877,8 @@ ROWS_ONLY: dict[str, str] = {
     "minhash_pairs": "production xxhash64 base hash has no DuckDB twin; the"
     " md5-based minhash_pairs_md5 value-checks the identical banded plan",
     "simhash_candidates": "xxhash64 token hashing not reproducible in DuckDB;"
-    " simhash_sig value-checks the signature math on the md5 path",
+    " simhash_sig + simhash_pairs_md5 value-check the identical signature"
+    " math and rotation-bucketed pair generation on the md5 path",
     "semantic_search": "difflib partial-ratio python kernel (F2) below the"
     " JVM prefilter is not SQL-expressible; pytest pins kernel parity",
     "image_features": "python image decode (PNG/JPEG codecs) not"
@@ -892,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "simhash_sig": q_simhash_sig,
         "simhash_candidates": q_simhash_candidates,
+        "simhash_pairs_md5": q_simhash_pairs_md5,
         "cosine_topk": q_cosine_topk,
         "embed_neardup": q_embed_neardup,
         "lsh_topk": q_lsh_topk,
@@ -1191,6 +1213,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, ({simhash_bits}) AS simhash
             FROM hashed
+        """,
+        # full rotation-scheme pair generation (r3): rotations 0/16/32/48
+        # with a 16-bit prefix never wrap, so bucket_r is a shift+mask
+        "simhash_pairs_md5": f"""
+            WITH grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 1, 1) + 1),
+                           i -> array_to_string(w[i:i+1], ' '))) AS shingles
+                FROM (
+                    SELECT doc_id,
+                           string_split(trim(regexp_replace(lower(text),
+                                             '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
+                    FROM documents WHERE doc_id < 200
+                )
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(shingles,
+                           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+                FROM grams
+            ), sh AS (
+                SELECT doc_id AS id, ({simhash_bits}) AS simhash FROM hashed
+            ), b AS (
+                SELECT id, simhash, rot,
+                       CASE rot
+                           WHEN 0 THEN simhash >> 48
+                           WHEN 1 THEN (simhash >> 32) & 65535
+                           WHEN 2 THEN (simhash >> 16) & 65535
+                           ELSE simhash & 65535
+                       END AS bucket
+                FROM sh, (SELECT unnest([0, 1, 2, 3]) AS rot) t
+            )
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                   CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+            FROM b l JOIN b r
+              ON l.rot = r.rot AND l.bucket = r.bucket AND l.id < r.id
         """,
         "cosine_topk": """
             WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
