@@ -272,6 +272,8 @@ def make_refine_stage(
     blob_resolver: Callable[[str], bytes] | None = None,
     max_side_limit: int = 1500,
     fine_step: float = 0.05,
+    pdf_rasterizer: Callable[[bytes, float], list[bytes]] | str | None = "auto",
+    pdf_zoom: float = 2.0,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Second-pass refinement (reference M2 / TrOCR analog,
     /root/reference/src/transformer_ocr.py:189-283): re-recognize a page
@@ -281,61 +283,105 @@ def make_refine_stage(
     coalesce picks the winner). The caller filters to low-score rows first
     (two-pass enhancement pruning, SURVEY.md §4.3.4 — each region enhanced
     exactly ONCE, unlike the reference CLI's accidental O(k^2) loop).
-    Input/output: OCR_SCHEMA rows. Failures keep the first-pass row
-    (error absorption)."""
+
+    PDF-derived rows refine too: a resolved blob sniffing %PDF- is
+    rasterized (pdf_rasterizer: "auto" = pypdfium2 else the from-scratch
+    pdfio extractor, mirroring pipeline.extract_spans) and each row's page
+    comes from its line_idx base (page_idx * 100000 + line — the pdf branch
+    ordering invariant), so workbench enhancement covers pdf pages with the
+    same semantics as native media. pdf_rasterizer=None keeps pdf rows
+    untouched (their rasterization attempt fails closed to []).
+
+    Input/output: OCR_SCHEMA rows. Failures — and rows already carrying an
+    error — keep the first-pass row (error absorption)."""
     from ner_ocr_spark import corpus
     from ner_ocr_spark.kernels import ocr
 
     resolver = blob_resolver or (lambda ref: corpus.render_media_blob(ref))
+    if pdf_rasterizer == "auto":
+        from ner_ocr_spark.operators.pdf import default_rasterizer
+
+        pdf_rasterizer = default_rasterizer()
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import OrderedDict
 
-        # bounded LRU that SURVIVES batch boundaries: round 2 cleared the
+        import numpy as np
+
+        # bounded LRUs that SURVIVE batch boundaries: round 2 cleared the
         # cache per batch, so a page whose rows straddled two Arrow batches
-        # decoded twice (round-2 verdict #5)
-        cache: OrderedDict[str, list] = OrderedDict()
-        cache_cap = 64
+        # decoded twice (round-2 verdict #5). page_cache holds the resolved
+        # blob as a page list ([blob] for native images, rasterized pages
+        # for PDFs — rasterize once per document, not once per page);
+        # line_cache holds recognized lines per (ref, page).
+        page_cache: OrderedDict[str, list[bytes]] = OrderedDict()
+        line_cache: OrderedDict[tuple[str, int], list] = OrderedDict()
+        page_cap, line_cap = 8, 64
 
-        def refined_lines(ref: str):
-            if ref in cache:
-                cache.move_to_end(ref)
-                return cache[ref]
+        def page_list(ref: str) -> list[bytes]:
+            if ref in page_cache:
+                page_cache.move_to_end(ref)
+                return page_cache[ref]
+            raw = bytes(resolver(ref))
+            if pdf_rasterizer is not None and raw[:5] == b"%PDF-":
+                pages = [bytes(p) for p in pdf_rasterizer(raw, pdf_zoom)]
+            else:
+                pages = [raw]
+            page_cache[ref] = pages
+            if len(page_cache) > page_cap:
+                page_cache.popitem(last=False)
+            return pages
+
+        def refined_lines(ref: str, page: int):
+            key = (ref, page)
+            if key in line_cache:
+                line_cache.move_to_end(key)
+                return line_cache[key]
             try:
-                import numpy as np
-
-                gray = ocr.bounded_resize(
-                    ocr.decode_gray(resolver(ref)), max_side_limit
-                )
-                mask = ocr.despeckle(ocr.binarize(gray))
-                angle = ocr.estimate_skew(mask, step=fine_step)
-                if abs(angle) > 1e-9:
-                    gray = ocr.rotate_gray(gray, angle, int(np.median(gray)))
+                pages = page_list(ref)
+                if page >= len(pages):
+                    lines = []
+                else:
+                    gray = ocr.bounded_resize(
+                        ocr.decode_gray(pages[page]), max_side_limit
+                    )
                     mask = ocr.despeckle(ocr.binarize(gray))
-                lines = ocr.recognize_mask(mask)
+                    angle = ocr.estimate_skew(mask, step=fine_step)
+                    if abs(angle) > 1e-9:
+                        gray = ocr.rotate_gray(gray, angle, int(np.median(gray)))
+                        mask = ocr.despeckle(ocr.binarize(gray))
+                    lines = ocr.recognize_mask(mask)
             except Exception:  # noqa: BLE001
                 lines = []
-            cache[ref] = lines
-            if len(cache) > cache_cap:
-                cache.popitem(last=False)
+            line_cache[key] = lines
+            if len(line_cache) > line_cap:
+                line_cache.popitem(last=False)
             return lines
 
         for pdf in batches:
             pdf = pdf.copy()
+            li_all = pdf["line_idx"].to_numpy().astype(int)
+            # error rows never refine (M6: they carry no geometry/text and
+            # must stay NULL through both transformer columns)
+            ok_all = pdf["error"].isna().to_numpy()
             # one decode per page, vectorized assignment per media_ref group
             # (no per-row python loop, no .at writes — round-2 verdict #5)
             for ref, pos in pdf.groupby("media_ref", sort=False).indices.items():
-                lines = refined_lines(ref)
-                if not lines:
-                    continue
-                li = pdf["line_idx"].to_numpy()[pos].astype(int)
-                in_range = li < len(lines)
-                sel = pdf.index[pos[in_range]]
-                hit = li[in_range]
-                pdf.loc[sel, "transformer_text"] = [lines[i].text for i in hit]
-                pdf.loc[sel, "transformer_score"] = [
-                    float(lines[i].score) for i in hit
-                ]
+                li = li_all[pos]
+                pg = li // 100000  # 0 for native media, page_idx for pdf rows
+                for page in np.unique(pg):
+                    lines = refined_lines(ref, int(page))
+                    if not lines:
+                        continue
+                    on_page = pg == page
+                    lp = li[on_page] % 100000
+                    in_range = (lp < len(lines)) & ok_all[pos][on_page]
+                    sel = pdf.index[pos[on_page][in_range]]
+                    hit = lp[in_range]
+                    pdf.loc[sel, "transformer_text"] = [lines[i].text for i in hit]
+                    pdf.loc[sel, "transformer_score"] = [
+                        float(lines[i].score) for i in hit
+                    ]
             yield pdf
 
     return stage

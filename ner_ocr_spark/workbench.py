@@ -38,6 +38,9 @@ class Workbench:
 
     def __init__(self) -> None:
         self._results: dict[str, DataFrame | None] = {s: None for s in _STAGES}
+        # blob/pdf options captured at run_ocr so run_enhancement's refine
+        # stage re-resolves media through the SAME resolver/rasterizer
+        self._extract_opts: dict = {}
 
     # -- stage DAG plumbing -------------------------------------------------
 
@@ -77,6 +80,11 @@ class Workbench:
         Invalidate search/enhance/entities."""
         docs = self._require("load")
         extract_kwargs.setdefault("with_ner", False)
+        self._extract_opts = {
+            k: extract_kwargs[k]
+            for k in ("blob_resolver", "pdf_rasterizer", "pdf_zoom")
+            if k in extract_kwargs
+        }
         return self._set("ocr", pipeline.extract_spans(docs, **extract_kwargs))
 
     def run_search(self, search_type: str, task: str | None = None, **query) -> DataFrame:
@@ -125,16 +133,22 @@ class Workbench:
             )
             .select("media_ref").distinct()
         )
-        # only native media rows refine: the stage re-decodes media_ref,
-        # which for pdf-derived rows points at the (un-rasterizable here)
-        # PDF blob, and their line_idx carries the page_idx*100000 base —
-        # pdf rows pass through untouched alongside text spans
-        media_rows = ocr_rows.filter(F.col("kind") == "media")
-        other_rows = ocr_rows.filter(F.col("kind") != "media")
+        # media AND pdf rows refine: the stage re-resolves media_ref, sniffs
+        # %PDF-, rasterizes once per document (pdfio/pypdfium2), and maps each
+        # row's line_idx base (page_idx*100000 + line) back to its page —
+        # text spans pass through untouched
+        media_rows = ocr_rows.filter(F.col("kind").isin("media", "pdf"))
+        other_rows = ocr_rows.filter(~F.col("kind").isin("media", "pdf"))
         hit = media_rows.join(F.broadcast(hit_refs), "media_ref", "left_semi")
         rest = media_rows.join(F.broadcast(hit_refs), "media_ref", "left_anti")
+        opts = self._extract_opts
         refined = hit.select(*OCR_SCHEMA.fieldNames()).mapInPandas(
-            make_refine_stage(), OCR_SCHEMA
+            make_refine_stage(
+                blob_resolver=opts.get("blob_resolver"),
+                pdf_rasterizer=opts.get("pdf_rasterizer", "auto"),
+                pdf_zoom=opts.get("pdf_zoom", 2.0),
+            ),
+            OCR_SCHEMA,
         )
         merged = (
             rest.select(*ocr_rows.columns)

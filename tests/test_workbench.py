@@ -52,3 +52,80 @@ def test_enhance_requires_search_and_preserves_rows(wb):
     before = wb.results("ocr").count()
     enhanced = wb.run_enhancement()
     assert enhanced.count() == before  # refine rewrites, never drops/dups
+
+
+def test_enhancement_covers_pdf_rows(spark):
+    """PDF-derived OCR rows refine too: the stage re-resolves media_ref,
+    sniffs %PDF-, rasterizes via pdfio, and maps line_idx's page base
+    (page_idx*100000 + line) back to the right page — genuine PDF bytes,
+    no fake rasterizer."""
+    import numpy as np
+
+    from ner_ocr_spark import font, pdfio
+    from ner_ocr_spark.kernels.normalize import normalize_text
+    from tests.conftest import DOC_SCHEMA
+
+    page_lines = [
+        ["ALICE COOPER MET BOB STONE", "IN LONDON TODAY"],
+        ["THE SECOND PAGE", "HAS MORE TEXT"],
+    ]
+    pages = []
+    for lines in page_lines:
+        img = font.render_lines(lines, scale=3, margin=10)
+        pages.append(np.where(img == 0, np.uint8(40), np.uint8(210)))
+    blob = pdfio.encode_image_pdf(pages)
+    resolver = (lambda b: (lambda ref: b))(blob)
+
+    docs = spark.createDataFrame(
+        [{
+            "doc_id": "p0",
+            "spans": [
+                {"kind": "pdf", "text": None,
+                 "media_ref": "store/scan.pdf", "offset": 0},
+            ],
+        }],
+        DOC_SCHEMA,
+    )
+    w = Workbench()
+    w.load(docs)
+    w.run_ocr(blob_resolver=resolver)
+    w.run_search("positional", x1=0.0, y1=0.0, x2=1e6, y2=1e6)
+    enhanced = w.run_enhancement()
+    pdf_rows = enhanced.filter(
+        "kind = 'pdf' and error is null and text is not null"
+    ).collect()
+    assert len(pdf_rows) == sum(len(p) for p in page_lines)
+    for r in pdf_rows:
+        page, line = r["line_idx"] // 100000, r["line_idx"] % 100000
+        # the refined pass landed, and on the RIGHT page's line
+        assert r["transformer_text"] is not None
+        assert normalize_text(r["transformer_text"]) == \
+            normalize_text(page_lines[page][line])
+        assert r["transformer_score"] is not None
+
+
+def test_refine_stage_skips_error_rows(spark):
+    """M6: rows carrying an error never gain transformer columns, even when
+    their media_ref resolves (the blob may be fine while the row's own
+    first pass failed, e.g. timeout)."""
+    import pandas as pd
+
+    from ner_ocr_spark.operators.extract import make_refine_stage
+
+    # any ref renders: corpus.render_media_blob is a pure function of the key
+    ref = "media/error-guard/0"
+    batch = pd.DataFrame({
+        "doc_id": ["d", "d"], "span_idx": [0, 0], "line_idx": [0, 0],
+        "kind": ["media", "media"], "text": [None, "SOME TEXT"],
+        "media_ref": [ref, ref],
+        "box": [None, [0.0, 0.0, 1.0, 1.0]], "score": [None, 0.5],
+        "transformer_text": [None, None], "transformer_score": [None, None],
+        "error": ["timeout: batch OCR budget exceeded", None],
+    })
+    stage = make_refine_stage()
+    out = pd.concat(list(stage(iter([batch]))))
+    # the clean row on the same page DID refine (guard is load-bearing)...
+    assert out.iloc[1]["transformer_text"] is not None
+    # ...while the error row stayed NULL on both transformer columns
+    assert pd.isna(out.iloc[0]["transformer_text"])
+    assert pd.isna(out.iloc[0]["transformer_score"])
