@@ -388,6 +388,34 @@ def q_simhash_pairs_md5(spark, sf):  # FULL rotation-bucketed candidates, value-
     )
 
 
+def q_dup_clusters(spark, sf):  # pair graph -> transitive clusters, value-checked
+    """Dup-CLUSTER resolution: connected components (alternating large-star
+    / small-star, dedup.connected_components) over a deterministic
+    candidate-pair graph, plus the per-document keep flag. Oracled by a
+    DuckDB RECURSIVE CTE computing the same transitive closure. The edge
+    set is rank-adjacent chains under two independent blockings
+    (normalized-text 4-char prefix; (lang, length-bucket)) so components
+    are branchy merged chains — the general graph case, not cliques."""
+    from ner_ocr_spark.operators.dedup import dup_clusters, normalize_for_dedup
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(normalize_for_dedup(F.col("text")), 1, 4).alias("p4"),
+        F.pmod(F.length("text"), F.lit(5)).alias("tb"),
+    )
+    w1 = Window.partitionBy("p4").orderBy("doc_id")
+    w2 = Window.partitionBy("lang", "tb").orderBy("doc_id")
+    e1 = d.select(
+        F.lag("doc_id").over(w1).alias("id_a"), F.col("doc_id").alias("id_b")
+    ).filter(F.col("id_a").isNotNull())
+    e2 = d.select(
+        F.lag("doc_id").over(w2).alias("id_a"), F.col("doc_id").alias("id_b")
+    ).filter(F.col("id_a").isNotNull())
+    return dup_clusters(docs, e1.unionByName(e2))
+
+
 def q_cosine_topk(spark, sf):
     from ner_ocr_spark.operators.similarity import brute_force_topk
 
@@ -911,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_sig": q_minhash_sig,
         "minhash_pairs_md5": q_minhash_pairs_md5,
+        "dup_clusters": q_dup_clusters,
         "simhash_sig": q_simhash_sig,
         "simhash_candidates": q_simhash_candidates,
         "simhash_pairs_md5": q_simhash_pairs_md5,
@@ -1162,6 +1191,41 @@ def oracle_sql() -> dict[str, str]:
              AND (l.mh0 = r.mh0 OR l.mh1 = r.mh1 OR l.mh2 = r.mh2
                OR l.mh3 = r.mh3 OR l.mh4 = r.mh4 OR l.mh5 = r.mh5
                OR l.mh6 = r.mh6 OR l.mh7 = r.mh7)
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id, lang,
+                       substr(trim(regexp_replace(lower(text),
+                              '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), 1, 4) AS p4,
+                       length(text) % 5 AS tb
+                FROM documents WHERE doc_id < 400
+            ), e1 AS (
+                SELECT lag(doc_id) OVER (PARTITION BY p4 ORDER BY doc_id) AS u,
+                       doc_id AS v
+                FROM d
+            ), e2 AS (
+                SELECT lag(doc_id) OVER (PARTITION BY lang, tb ORDER BY doc_id) AS u,
+                       doc_id AS v
+                FROM d
+            ), edges AS (
+                SELECT u, v FROM e1 WHERE u IS NOT NULL
+                UNION
+                SELECT u, v FROM e2 WHERE u IS NOT NULL
+            ), sym AS (
+                SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+            ), walk AS (
+                SELECT u, v AS lab FROM sym
+                UNION
+                SELECT w.u, s.v AS lab FROM walk w JOIN sym s ON w.lab = s.u
+            ), comp AS (
+                SELECT u AS doc_id, least(u, min(lab)) AS component
+                FROM walk GROUP BY u
+            )
+            SELECT doc.doc_id AS doc_id,
+                   coalesce(c.component, doc.doc_id) AS cluster_id,
+                   CAST(coalesce(c.component, doc.doc_id) = doc.doc_id AS INT) AS keep
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 400) doc
+            LEFT JOIN comp c ON doc.doc_id = c.doc_id
         """,
         "minhash_sig": """
             WITH grams AS (

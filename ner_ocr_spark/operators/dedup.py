@@ -9,6 +9,9 @@ All distributed-first:
                    rotated prefixes for near-dup candidates
   * ngram_jaccard — exact Jaccard on word n-gram sets for candidate pairs
                    (verification stage after LSH, or standalone on small sets)
+  * connected_components / dup_clusters — transitive-closes candidate pairs
+                   into clusters (min-label star contraction, O(log n)
+                   rounds) and picks one canonical doc per cluster
 
 Everything uses built-in expressions (xxhash64, transform, aggregate,
 explode) — no Python in the hot path; candidate verification is the only
@@ -306,6 +309,143 @@ def simhash_candidates(
 
 def _hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`; component is
+    the MINIMUM node id of its connected component.
+
+    This is dup-CLUSTER resolution — the step after LSH/SimHash candidate
+    generation that the pairwise operators stop short of: near-dup pairs
+    are not transitive-closed, so keeping `min(id_a, id_b)` per pair both
+    over- and under-deletes. Grouping pairs into components gives one
+    canonical (min-id) document per cluster (`node == component` is the
+    keep predicate).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    published O(log^2 n)-round MapReduce algorithm. (Naive min-label
+    contraction is O(n) on a path: each round the relabeled path is again
+    a path, one node shorter.) Per round:
+
+      * large-star: every node connects its STRICTLY LARGER neighbors to
+        the minimum of its closed neighborhood — one groupBy-min + one
+        join, no adjacency lists materialized;
+      * small-star: with edges oriented large->small, every node connects
+        its smaller neighbors (and itself) to their minimum.
+
+    The edge set converges to per-component stars centered on the
+    component minimum; the loop stops when a round leaves the edge set
+    unchanged (count + order-independent hash — one scalar action per
+    round, never a data collect), with `max_iter` as a runaway guard.
+    localCheckpoint truncates per-round lineage (on a real cluster prefer
+    reliable checkpoint() for executor fault tolerance at 100 TB — same
+    plan otherwise).
+    """
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .unionByName(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("s"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("s") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal sum: ANSI mode hard-errors on int64 overflow
+            F.sum(F.xxhash64("s", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("s").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("s").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("s"), F.greatest("v", "m").alias("b"))
+            .filter(F.col("s") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # oriented large -> small: u is the big endpoint, v the small
+        oriented = e.select(F.col("b").alias("u"), F.col("s").alias("v"))
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (
+            oriented.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("s"), F.col("v").alias("b"))
+        )
+        selfed = mins.select(F.col("m").alias("s"), F.col("u").alias("b"))
+        return (
+            linked.unionByName(selfed)
+            .filter(F.col("s") != F.col("b"))
+            .distinct()
+        )
+
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # converged edges are stars (child -> component min): component(node) =
+    # min over incident edges, and the root/singleton keeps itself
+    incident = edges.select(F.col("b").alias("node"), F.col("s").alias("c")).unionByName(
+        edges.select(F.col("s").alias("node"), F.col("s").alias("c"))
+    )
+    return (
+        nodes.join(incident.groupBy("node").agg(F.min("c").alias("component")),
+                   "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+
+
+def dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-document cluster assignment + keep flag from candidate pairs:
+    (id, cluster_id, keep) where cluster_id is the component min and
+    keep=1 marks the canonical survivor. Documents in NO pair keep
+    themselves (cluster_id = own id) via a broadcast-friendly left join —
+    the full corpus never shuffles on the pair graph."""
+    cc = connected_components(pairs, src, dst)
+    return (
+        df.select(F.col(id_col))
+        .join(cc, df[id_col] == cc["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(

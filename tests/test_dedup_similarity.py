@@ -184,3 +184,78 @@ def test_ivf_topk_recall_and_exact_limit(spark):
     full = {(r["query_id"], r["rank"]): r["vec_id"]
             for r in ivf_topk(emb, q, k=3, centroids=cents, n_probe=4).collect()}
     assert full == bf
+
+
+# -- connected components / dup clusters --------------------------------------
+
+
+def _uf_components(edges):
+    """Reference union-find (driver-side) for cross-checking."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_path_graph(spark):
+    """A 100-node path converges well inside max_iter=25 — star contraction
+    is O(log n) rounds, not the O(n) of naive label propagation."""
+    from ner_ocr_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(100)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs, max_iter=25).collect()}
+    assert got == {n: 0 for n in range(101)}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Branchy multi-component graph (chains + bridges + cliques, shuffled
+    edge directions) against a driver-side union-find."""
+    import random
+
+    from ner_ocr_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    edges = []
+    for base in (0, 200, 400, 600):  # four chain clusters
+        edges += [(base + i, base + i + 1) for i in range(rng.randint(3, 12))]
+    edges += [(5, 205), (405, 603)]  # bridges merge two pairs of clusters
+    edges += [(900 + a, 900 + b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(77, 77)]  # self-loop must be ignored
+    edges = [(b, a) if rng.random() < 0.5 else (a, b) for a, b in edges]
+    rng.shuffle(edges)
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    want = _uf_components([(a, b) for a, b in edges if a != b])
+    want[77] = 77  # self-loop-only node is its own (singleton) component
+    assert got == want
+
+
+def test_dup_clusters_keeps_one_canonical_per_cluster(spark):
+    from ner_ocr_spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 7), (2, 5)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dup_clusters(docs, pairs).collect()}
+    assert got[1] == (1, 1) and got[4] == (1, 0) and got[7] == (1, 0)
+    assert got[2] == (2, 1) and got[5] == (2, 0)
+    # isolated docs keep themselves
+    for i in (0, 3, 6, 8, 9):
+        assert got[i] == (i, 1)
+    assert sum(k for _, k in got.values()) == 7  # 10 docs - 3 dropped dups
