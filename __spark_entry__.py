@@ -552,6 +552,62 @@ def q_fingerprint(spark, sf):  # winnowing fingerprint, value-checked
     )
 
 
+def q_gopher_filter(spark, sf):  # Gopher quality rules, value-checked
+    """Composite quality filter (word count, mean word length, symbol
+    ratio, alpha-word ratio, stopword hits) with per-rule rejection
+    attribution — Rae et al. 2021 §A1.1 style rules as one codegen
+    projection."""
+    from ner_ocr_spark.operators.textstats import gopher_filter
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return gopher_filter(docs).drop("text")
+
+
+def q_stratified_sample(spark, sf):  # deterministic domain-mixing sample
+    """Per-language keep rates via the portable md5 unit hash — the exact
+    row set is reproducible across engines, runs, and task retries
+    (production default is the xxhash64 unit hash, same plan)."""
+    from ner_ocr_spark.operators.sampling import stratified_sample, unit_hash_md5
+
+    docs = _t(spark, sf, "documents")
+    out = stratified_sample(
+        docs, {"en": 0.5, "de": 0.25}, default_rate=0.1, seed=7,
+        unit_hash=unit_hash_md5,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_sample_per_stratum(spark, sf):  # exactly-k deterministic exemplars
+    from ner_ocr_spark.operators.sampling import sample_per_stratum, unit_hash_md5
+
+    docs = _t(spark, sf, "documents")
+    out = sample_per_stratum(docs, k=5, seed=3, unit_hash=unit_hash_md5)
+    return out.select("doc_id", "lang")
+
+
+def q_seq_pack(spark, sf):  # concat-and-chunk sequence packing placement
+    """GPT-style packing metadata: per-doc (shard, token offsets, spanned
+    sequence range) from a shard-partitioned window cumsum — no global
+    sort; every shard packs independently."""
+    from ner_ocr_spark.operators.packing import pack_sequences, shard_hash_md5
+
+    docs = _t(spark, sf, "documents")
+    return pack_sequences(docs, budget=256, shards=8, shard_hash=shard_hash_md5)
+
+
+def q_decontam(spark, sf):  # benchmark n-gram decontamination
+    """Training docs sharing any word 3-gram with the deterministic eval
+    split (doc_id % 37 == 0) — eval gram hashes broadcast; the training
+    side never shuffles its text."""
+    from ner_ocr_spark.operators.decontam import ngram_overlap
+    from ner_ocr_spark.operators.dedup import md5_hash60
+
+    docs = _t(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 37 == 0)
+    return ngram_overlap(train, eval_df, n=3, base_hash=md5_hash60)
+
+
 def q_explode_1n(spark, sf):  # S3 1:N expansion (pdf -> pages analog)
     docs = _t(spark, sf, "documents")
     pieces = F.split(F.col("text"), WS_RUN)
@@ -951,6 +1007,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "gopher_filter": q_gopher_filter,
+        "stratified_sample": q_stratified_sample,
+        "sample_per_stratum": q_sample_per_stratum,
+        "seq_pack": q_seq_pack,
+        "decontam": q_decontam,
         "explode_1n": q_explode_1n,
         "poly_bbox": q_poly_bbox,
         "circle_rect": q_circle_rect,
@@ -1423,6 +1484,128 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(fp, ',')) AS fp_digest,
                    CAST(len(fp) AS BIGINT) AS fp_n
             FROM w
+        """,
+        "gopher_filter": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(lower(text)),
+                                          '[ \\t\\n\\x0B\\f\\r]+') AS w
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(w) AS n_words,
+                       list_sum(list_transform(w, x -> length(x)))
+                           / CAST(greatest(len(w), 1) AS DOUBLE) AS mean_wl,
+                       (length(text) - length(regexp_replace(text,
+                            '[#@*^~\\\\]', '', 'g')))
+                           / CAST(greatest(length(text), 1) AS DOUBLE)
+                           AS sym_ratio,
+                       len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                           / CAST(greatest(len(w), 1) AS DOUBLE)
+                           AS a_ratio,
+                       len(list_intersect(list_distinct(w),
+                           ['the','a','of','and','to','in','is','on','for','with']))
+                           AS stop_hits
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(mean_wl, 4) AS mean_word_len,
+                   round(sym_ratio, 4) AS symbol_ratio,
+                   round(a_ratio, 4) AS alpha_ratio,
+                   CAST(stop_hits AS BIGINT) AS stopword_hits,
+                   CAST(n_words >= 5 AND n_words <= 2000
+                        AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                        AND sym_ratio <= 0.1 AND a_ratio >= 0.8
+                        AND stop_hits >= 2 AS INT) AS keep,
+                   coalesce(array_to_string(list_filter([
+                       CASE WHEN NOT (n_words >= 5 AND n_words <= 2000)
+                            THEN 'word_count' END,
+                       CASE WHEN NOT (mean_wl >= 3.0 AND mean_wl <= 10.0)
+                            THEN 'mean_word_len' END,
+                       CASE WHEN NOT (sym_ratio <= 0.1)
+                            THEN 'symbol_ratio' END,
+                       CASE WHEN NOT (a_ratio >= 0.8)
+                            THEN 'alpha_ratio' END,
+                       CASE WHEN NOT (stop_hits >= 2)
+                            THEN 'stopword_hits' END
+                   ], x -> x IS NOT NULL), ','), '') AS reject_reasons
+            FROM m
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                                      1, 15) AS BIGINT)
+                  / 1152921504606846976.0
+                  < CASE WHEN lang = 'en' THEN 0.5
+                         WHEN lang = 'de' THEN 0.25
+                         ELSE 0.1 END
+        """,
+        "sample_per_stratum": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY CAST('0x' || substr(md5(
+                                        CAST(doc_id AS VARCHAR) || ':3'),
+                                        1, 15) AS BIGINT)
+                                    / 1152921504606846976.0,
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 5
+        """,
+        "seq_pack": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 15) AS BIGINT) % 8 AS shard,
+                       CAST(len(string_split_regex(trim(lower(text)),
+                            '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, shard, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                            PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                           AS start_offset
+                FROM t
+            )
+            SELECT doc_id, shard, n_tokens, start_offset,
+                   CAST(floor(start_offset / 256.0) AS BIGINT) AS seq_first,
+                   CAST(floor((start_offset + n_tokens - 1) / 256.0) AS BIGINT)
+                       AS seq_last
+            FROM c
+        """,
+        "decontam": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - 2, 1) + 1),
+                           i -> array_to_string(w[i:i+2], ' ')))) AS g
+                FROM w
+            ), hashed AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+                FROM grams
+            ), ev AS (
+                SELECT DISTINCT gh FROM hashed WHERE doc_id % 37 = 0
+            ), hits AS (
+                SELECT h.doc_id, count(DISTINCT h.gh) AS n_overlap
+                FROM hashed h JOIN ev USING (gh)
+                WHERE h.doc_id % 37 <> 0
+                GROUP BY h.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   CAST(coalesce(hits.n_overlap, 0) > 0 AS INT) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+            LEFT JOIN hits USING (doc_id)
         """,
         "explode_1n": """
             WITH p AS (SELECT doc_id,

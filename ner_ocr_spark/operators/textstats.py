@@ -111,6 +111,86 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 2000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition/quality rules (Rae et al. 2021, §A1.1) as a
+    single codegen projection: per-doc metrics, the per-rule failure list,
+    and the composite keep flag. Rules (all thresholds parameterized):
+
+      word_count      — in [min_words, max_words]
+      mean_word_len   — mean WORD length (not chars/words) in
+                        [min_mean_word_len, max_mean_word_len]
+      symbol_ratio    — (# of #, @, *, ^, ~, backslash chars) / chars
+                        <= max_symbol_ratio
+      alpha_ratio     — fraction of words containing an ASCII letter
+                        >= min_alpha_ratio
+      stopword_hits   — >= min_stop_hits distinct stopwords
+
+    Pure expressions over one scan; the filter composes with
+    sampling/dedup stages without a shuffle. `reject_reasons` is the
+    comma-joined failed-rule list ('' when kept) so downstream can report
+    removal attribution per rule."""
+    t = F.col(text_col)
+    # materialize the word array once: HOF lambdas (aggregate/filter below)
+    # re-evaluate inline subexpressions per element, so an inline split()
+    # here would re-split the text O(words) times (CLAUDE.md sharp edge)
+    df = df.withColumn("_gf_words", words_expr(t))
+    words = F.col("_gf_words")
+    n_words = F.size(words)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    mean_wl = (
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+        / F.greatest(n_words, F.lit(1)).cast("double")
+    )
+    n_symbols = F.length(t) - F.length(F.regexp_replace(t, r"[#@*^~\\]", ""))
+    symbol_ratio = n_symbols / n_chars.cast("double")
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = n_alpha_words / F.greatest(n_words, F.lit(1)).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+
+    rules = [
+        ("word_count", (n_words >= min_words) & (n_words <= max_words)),
+        ("mean_word_len",
+         (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)),
+        ("symbol_ratio", symbol_ratio <= max_symbol_ratio),
+        ("alpha_ratio", alpha_ratio >= min_alpha_ratio),
+        ("stopword_hits", stop_hits >= min_stop_hits),
+    ]
+    failed = F.array_join(
+        F.filter(
+            F.array(*[
+                F.when(~ok, F.lit(name)).otherwise(F.lit(None)) for name, ok in rules
+            ]),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    keep = None
+    for _, ok in rules:
+        keep = ok if keep is None else (keep & ok)
+    return df.withColumns(
+        {
+            "n_words": n_words.cast("long"),
+            "mean_word_len": F.round(mean_wl, 4),
+            "symbol_ratio": F.round(symbol_ratio, 4),
+            "alpha_ratio": F.round(alpha_ratio, 4),
+            "stopword_hits": stop_hits.cast("long"),
+            "keep": keep.cast("int"),
+            "reject_reasons": failed,
+        }
+    ).drop("_gf_words")
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",
