@@ -595,6 +595,34 @@ def q_seq_pack(spark, sf):  # concat-and-chunk sequence packing placement
     return pack_sequences(docs, budget=256, shards=8, shard_hash=shard_hash_md5)
 
 
+def q_repetition_stats(spark, sf):  # Gopher repetition rules, value-checked
+    """Word-level n-gram repetition (top-2/3-gram fraction, duplicated
+    2-gram mass) + keep flag — the §A1.2 half of the Gopher filter; the
+    character/line variants degrade on this single-line corpus."""
+    from ner_ocr_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
+def q_embed_quantize(spark, sf):  # int8 embedding quantization
+    """Per-vector symmetric int8 quantization summary. Rounding is the
+    explicit sign*floor(|y|+.5) form on both engines (engine-independent
+    half-away-from-zero)."""
+    from ner_ocr_spark.operators.similarity import quantize_int8
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = quantize_int8(emb)
+    return out.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
+
+
 def q_decontam(spark, sf):  # benchmark n-gram decontamination
     """Training docs sharing any word 3-gram with the deterministic eval
     split (doc_id % 37 == 0) — eval gram hashes broadcast; the training
@@ -1012,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_stratum": q_sample_per_stratum,
         "seq_pack": q_seq_pack,
         "decontam": q_decontam,
+        "repetition_stats": q_repetition_stats,
+        "embed_quantize": q_embed_quantize,
         "explode_1n": q_explode_1n,
         "poly_bbox": q_poly_bbox,
         "circle_rect": q_circle_rect,
@@ -1576,6 +1606,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((start_offset + n_tokens - 1) / 256.0) AS BIGINT)
                        AS seq_last
             FROM c
+        """,
+        "repetition_stats": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)),
+                                          '[ \\t\\n\\x0B\\f\\r]+') AS w
+                FROM documents
+            ), g2 AS (
+                SELECT doc_id, 2 AS n,
+                       unnest(list_transform(
+                           range(1, greatest(len(w) - 1, 1) + 1),
+                           i -> array_to_string(w[i:i+1], ' '))) AS g
+                FROM w
+            ), g3 AS (
+                SELECT doc_id, 3 AS n,
+                       unnest(list_transform(
+                           range(1, greatest(len(w) - 2, 1) + 1),
+                           i -> array_to_string(w[i:i+2], ' '))) AS g
+                FROM w
+            ), counts AS (
+                SELECT doc_id, n, g, count(*) AS c
+                FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+                GROUP BY doc_id, n, g
+            ), stats AS (
+                SELECT doc_id,
+                       round(coalesce(max(CASE WHEN n = 2 THEN c END), 0)
+                             / CAST(greatest(sum(CASE WHEN n = 2 THEN c END), 1)
+                                    AS DOUBLE), 4) AS top2_frac,
+                       round(coalesce(max(CASE WHEN n = 3 THEN c END), 0)
+                             / CAST(greatest(sum(CASE WHEN n = 3 THEN c END), 1)
+                                    AS DOUBLE), 4) AS top3_frac,
+                       round(coalesce(sum(CASE WHEN n = 2 AND c > 1 THEN c END), 0)
+                             / CAST(greatest(sum(CASE WHEN n = 2 THEN c END), 1)
+                                    AS DOUBLE), 4) AS dup2_frac
+                FROM counts GROUP BY doc_id
+            )
+            SELECT doc_id, top2_frac, top3_frac, dup2_frac,
+                   CAST(top2_frac <= 0.20 AND top3_frac <= 0.18
+                        AND dup2_frac <= 0.60 AS INT) AS keep
+            FROM stats
+        """,
+        "embed_quantize": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), s AS (
+                SELECT vec_id, v,
+                       CASE WHEN m > 0 THEN m ELSE 1.0 END AS scale
+                FROM (SELECT vec_id, v,
+                             list_max(list_transform(v, x -> abs(x))) AS m
+                      FROM v)
+            ), q AS (
+                SELECT vec_id, scale,
+                       list_transform(v, x -> CAST(
+                           sign(x / scale * 127.0)
+                           * floor(abs(x / scale * 127.0) + 0.5) AS INT)) AS q
+                FROM s
+            )
+            SELECT vec_id, round(scale, 6) AS scale,
+                   CAST(list_sum(q) AS BIGINT) AS q_sum,
+                   CAST(list_min(q) AS INT) AS q_min,
+                   CAST(list_max(q) AS INT) AS q_max
+            FROM q
         """,
         "decontam": """
             WITH w AS (

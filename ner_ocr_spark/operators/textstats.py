@@ -191,6 +191,77 @@ def gopher_filter(
     ).drop("_gf_words")
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top2_frac: float = 0.20,
+    max_top3_frac: float = 0.18,
+    max_dup2_frac: float = 0.60,
+) -> DataFrame:
+    """Gopher-style repetition rules (Rae et al. 2021 §A1.2, word-level):
+    the character/line variants degrade on single-line corpora, so the
+    load-bearing signals here are n-GRAM repetition —
+
+      top2_frac / top3_frac — fraction of all word 2-/3-grams taken by the
+                              single most frequent one
+      dup2_frac             — fraction of 2-gram mass in grams occurring
+                              more than once
+
+    plus the composite keep flag. Shape: ONE explode of (n, gram) pairs ->
+    codegen count agg -> conditional-agg re-group per doc (two shuffles,
+    both map-side combined; no interpreted HOF counting, which would be
+    O(n^2) per document). Output fractions are rounded; empty/one-gram
+    docs get sentinel 0 fractions, never NULL."""
+    words_col = "_rs_words"
+    base = df.select(
+        F.col(id_col), words_expr(F.col(text_col)).alias(words_col)
+    )
+
+    def grams_all(n: int) -> Column:
+        w = F.col(words_col)
+        k = F.greatest(F.size(w) - (n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(w, i + 1, n), " ").alias("g"),
+            ),
+        )
+
+    exploded = base.select(
+        id_col, F.explode(F.concat(grams_all(2), grams_all(3))).alias("ng")
+    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    counts = exploded.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.coalesce(num, F.lit(0)) / F.greatest(den, F.lit(1)).cast("double"), 4
+        )
+
+    mx2 = F.max(F.when(F.col("n") == 2, F.col("c")))
+    tot2 = F.sum(F.when(F.col("n") == 2, F.col("c")))
+    dup2 = F.sum(F.when((F.col("n") == 2) & (F.col("c") > 1), F.col("c")))
+    mx3 = F.max(F.when(F.col("n") == 3, F.col("c")))
+    tot3 = F.sum(F.when(F.col("n") == 3, F.col("c")))
+    stats = counts.groupBy(id_col).agg(
+        frac(mx2, tot2).alias("top2_frac"),
+        frac(dup2, tot2).alias("dup2_frac"),
+        frac(mx3, tot3).alias("top3_frac"),
+    )
+    return stats.select(
+        id_col,
+        "top2_frac",
+        "top3_frac",
+        "dup2_frac",
+        (
+            (F.col("top2_frac") <= max_top2_frac)
+            & (F.col("top3_frac") <= max_top3_frac)
+            & (F.col("dup2_frac") <= max_dup2_frac)
+        ).cast("int").alias("keep"),
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -186,3 +186,56 @@ def test_gopher_filter_is_shuffle_free(spark, corpus):
     from tests.test_plans import _executed
 
     assert "Exchange" not in _executed(gopher_filter(corpus))
+
+
+# -- repetition stats ----------------------------------------------------------
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    from ner_ocr_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 30),            # one 2-gram dominates
+            (2, " ".join(f"u{i}" for i in range(40))),  # all grams unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["keep"] == 0 and got[1]["top2_frac"] > 0.4
+    assert got[1]["dup2_frac"] == 1.0  # every 2-gram repeats
+    assert got[2]["keep"] == 1
+    assert got[2]["top2_frac"] < 0.1 and got[2]["dup2_frac"] == 0.0
+
+
+def test_repetition_stats_handles_tiny_docs(spark):
+    from ner_ocr_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "word")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # sentinel fractions, never NULL; a single gram is trivially 'top'
+    for r in rows.values():
+        assert r["top2_frac"] == 1.0 and r["dup2_frac"] == 0.0
+
+
+# -- int8 quantization ---------------------------------------------------------
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from ner_ocr_spark.operators.similarity import quantize_int8
+
+    vecs = [(i, [math.sin(0.3 * i * (j + 1)) for j in range(16)])
+            for i in range(1, 20)] + [(99, [0.0] * 16)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    for r in quantize_int8(emb).collect():
+        scale = r["q_scale"]
+        assert all(-127 <= q <= 127 for q in r["q"])
+        for v, q in zip(r["embedding"], r["q"]):
+            assert abs(v - q * scale / 127.0) <= scale / 127.0 / 2 + 1e-12
+        if r["vec_id"] == 99:  # zero vector: scale sentinel 1, all-zero q
+            assert scale == 1.0 and set(r["q"]) == {0}
+        else:
+            # max-|v| component hits exactly +-127 (symmetric full range)
+            assert 127 in {abs(q) for q in r["q"]}
