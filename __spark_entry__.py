@@ -970,6 +970,37 @@ def q_stateful_sessions(spark, sf):  # applyInPandasWithState, value-checked
     ).withColumn("session_seq", F.row_number().over(w) - 1)
 
 
+def q_stream_dedup(spark, sf):  # state-backed streaming dedup, value-checked
+    """REAL streaming exact-dedup (dropDuplicates state over the 128-bit
+    normalized-content key, availableNow drain). WHICH row survives a key
+    is engine-chosen, so the query returns the surviving KEY SET — which
+    must equal the batch distinct-key set exactly (portable md5 key here;
+    production default is xxhash64)."""
+    import uuid
+
+    from ner_ocr_spark.operators.dedup import md5_hash60
+    from ner_ocr_spark.streaming import stream_dedup
+
+    schema = _t(spark, sf, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    dd = stream_dedup(
+        stream,
+        base_hash=lambda c, s: md5_hash60(F.concat(c, F.lit(f"#{s}"))),
+    )
+    name = f"qsd_{uuid.uuid4().hex[:8]}"
+    q = (
+        dd.select("h1").writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        raise TimeoutError("stream_dedup stream did not drain in 300 s")
+    return spark.table(name).select("h1")
+
+
 def q_extraction_e2e(spark, sf):  # the engine itself, rows-only oracle
     from ner_ocr_spark import pipeline
 
@@ -1060,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_text_branch": q_extraction_text_branch,
         "stream_metrics": q_stream_metrics,
         "stateful_sessions": q_stateful_sessions,
+        "stream_dedup": q_stream_dedup,
         "extraction_e2e": q_extraction_e2e,
     }
 
@@ -1859,6 +1891,13 @@ def oracle_sql() -> dict[str, str]:
                        AS win_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS v
             FROM events GROUP BY 1, 2
+        """,
+        "stream_dedup": """
+            SELECT DISTINCT
+                   CAST('0x' || substr(md5(trim(regexp_replace(lower(text),
+                        '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) || '#0'), 1, 15)
+                        AS BIGINT) AS h1
+            FROM documents
         """,
         "stateful_sessions": """
             WITH e AS (

@@ -13,6 +13,9 @@ deployment needs:
     anti-join inside the batch writer makes replays idempotent on top.
   * stream_metrics — watermark + sliding-window counts over an event stream
     (late data dropped past the watermark), the standard streaming-agg shape.
+  * stream_dedup — state-backed exact dedup on the 128-bit normalized
+    content key (batch-identical key function); watermark-bounded state
+    via dropDuplicatesWithinWatermark on unbounded streams.
   * stateful_sessionize — applyInPandasWithState custom stateful operator:
     event-time-gap sessionization per user with explicit GroupState
     (running session accumulator + processing-time timeout flush) — the
@@ -178,6 +181,40 @@ def stateful_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    base_hash=None,
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST-arriving row per 128-bit
+    normalized-content key (two seeded hashes of the dedup normalizer —
+    same key as batch `dedup.exact_dedup`, so batch and stream agree on
+    what counts as a duplicate).
+
+    With an event-time column, dropDuplicatesWithinWatermark bounds the
+    key state — keys older than the watermark age out, the only viable
+    form on an unbounded 100 TB/day stream (plain dropDuplicates keeps
+    every key forever). Without ts_col it falls back to the unbounded
+    variant (backfill/availableNow drains, where the input is finite).
+
+    Which row survives WITHIN one microbatch is engine-chosen (standard
+    dropDuplicates semantics); the content KEY set is deterministic, and
+    cross-batch suppression is exact (state-backed)."""
+    from ner_ocr_spark.operators.dedup import normalize_for_dedup
+
+    bh = base_hash or (lambda c, s: F.xxhash64(c, F.lit(s)))
+    norm = normalize_for_dedup(F.col(text_col))
+    keyed = docs.withColumn("h1", bh(norm, 0)).withColumn("h2", bh(norm, 1))
+    if ts_col is not None:
+        keyed = keyed.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        ).withWatermark(ts_col, watermark)
+        return keyed.dropDuplicatesWithinWatermark(["h1", "h2"])
+    return keyed.dropDuplicates(["h1", "h2"])
 
 
 def stream_metrics(

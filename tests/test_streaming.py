@@ -114,3 +114,68 @@ def test_stream_metrics_windows(spark, tmp_path):
     batch_total = events.count()
     assert got.agg({"n": "sum"}).collect()[0][0] == batch_total
     assert set(got.columns) == {"win_start", "win_end", "event_type", "n", "v"}
+
+
+def test_stream_dedup_suppresses_across_microbatches(spark, tmp_path):
+    """State-backed exact dedup: in-batch duplicates collapse, and a later
+    run against the same checkpoint suppresses keys already seen (the
+    dedup state survives query restarts). Keying matches batch
+    exact_dedup's normalizer (case/whitespace-insensitive)."""
+    from ner_ocr_spark import streaming
+
+    src = str(tmp_path / "dd_in")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming.stream_dedup(stream)
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    spark.createDataFrame(
+        [(1, "Alpha  Beta"), (2, "alpha\tbeta"), (3, "gamma")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    rows1 = run()
+    assert len(rows1) == 2  # the normalized 'alpha beta' pair collapsed
+    assert {r["doc_id"] for r in rows1} & {1, 2}  # one of the pair survived
+    assert 3 in {r["doc_id"] for r in rows1}
+
+    spark.createDataFrame(
+        [(4, "ALPHA BETA"), (5, "delta")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    rows2 = run()
+    ids = {r["doc_id"] for r in rows2}
+    assert 4 not in ids  # suppressed by state from run 1
+    assert 5 in ids and len(rows2) == 3
+
+
+def test_stream_dedup_watermark_variant_runs(spark, tmp_path):
+    """With an event-time column the operator switches to
+    dropDuplicatesWithinWatermark (bounded state); duplicates inside the
+    watermark window are still suppressed."""
+    from ner_ocr_spark import streaming
+
+    src = str(tmp_path / "ddw_in")
+    schema = "doc_id long, text string, ts long"
+    spark.createDataFrame(
+        [(1, "same text", 1000), (2, "same  TEXT", 1060), (3, "other", 1100)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    dd = streaming.stream_dedup(stream, ts_col="ts", watermark="10 minutes")
+    name = "ddw_out"
+    q = (
+        dd.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.table(name).collect()
+    assert len(got) == 2
+    assert {r["doc_id"] for r in got} >= {3}
