@@ -595,6 +595,38 @@ def q_seq_pack(spark, sf):  # concat-and-chunk sequence packing placement
     return pack_sequences(docs, budget=256, shards=8, shard_hash=shard_hash_md5)
 
 
+def q_pii_scrub(spark, sf):  # regex PII redaction + attribution counts
+    """Email/IPv4/phone redaction over text with deterministic injected
+    PII (pure function of doc_id, built identically in the oracle SQL —
+    the raw corpus contains none, which would make the scrub a no-op).
+    Patterns are RE2-compatible so DuckDB runs the IDENTICAL strings;
+    the scrubbed text is compared by md5."""
+    from ner_ocr_spark.operators.pii import scrub_pii
+
+    docs = _t(spark, sf, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +1 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit("."),
+            F.pmod(F.col("doc_id") * 7, F.lit(256)).cast("string"),
+        ).alias("text"),
+    )
+    out = scrub_pii(injected)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5("scrubbed").alias("scrub_md5"),
+    )
+
+
 def q_repetition_stats(spark, sf):  # Gopher repetition rules, value-checked
     """Word-level n-gram repetition (top-2/3-gram fraction, duplicated
     2-gram mass) + keep flag — the §A1.2 half of the Gopher filter; the
@@ -1073,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "repetition_stats": q_repetition_stats,
         "embed_quantize": q_embed_quantize,
+        "pii_scrub": q_pii_scrub,
         "explode_1n": q_explode_1n,
         "poly_bbox": q_poly_bbox,
         "circle_rect": q_circle_rect,
@@ -1961,4 +1994,40 @@ def oracle_sql() -> dict[str, str]:
     ivf = _ivf_oracle_sql()
     if ivf is not None:
         out["ivf_topk"] = ivf
+    # PII twin: the pattern strings are shared VERBATIM from operators/pii
+    # (RE2-compatible subset), injected PII is the same pure function of
+    # doc_id on both engines
+    from ner_ocr_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    out["pii_scrub"] = f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com tel +1 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+            FROM documents
+        ), s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_email,
+                   regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+            FROM inj
+        ), s2 AS (
+            SELECT doc_id, n_email,
+                   len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ip,
+                   regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+            FROM s1
+        ), s3 AS (
+            SELECT doc_id, n_email, n_ip,
+                   len(regexp_extract_all(t2, '{PHONE_RE}')) AS n_phone,
+                   regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS t3
+            FROM s2
+        )
+        SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+               CAST(n_ip AS BIGINT) AS n_ip,
+               CAST(n_phone AS BIGINT) AS n_phone,
+               md5(t3) AS scrub_md5
+        FROM s3
+    """
     return out

@@ -239,3 +239,48 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
         else:
             # max-|v| component hits exactly +-127 (symmetric full range)
             assert 127 in {abs(q) for q in r["q"]}
+
+
+# -- pii scrubbing --------------------------------------------------------------
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from ner_ocr_spark.operators.pii import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org and d@e.io now"),
+            (2, "call (212) 555-0123 or +44 123-4567 or 555-9876"),
+            (3, "server 192.168.1.254 and 10.0.0.1 up"),
+            (4, "clean text, no pii, pi is 3.14159, v1.2.3 fine"),
+            (5, "mixed bob@x.co at 10.1.2.3 dial 555-1000"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (2, 0, 0)
+    assert got[1]["scrubbed"] == "mail <EMAIL> and <EMAIL> now"
+    assert (got[2]["n_email"], got[2]["n_ip"], got[2]["n_phone"]) == (0, 0, 3)
+    assert got[2]["scrubbed"] == "call <PHONE> or <PHONE> or <PHONE>"
+    assert (got[3]["n_email"], got[3]["n_ip"], got[3]["n_phone"]) == (0, 2, 0)
+    assert got[3]["scrubbed"] == "server <IP> and <IP> up"
+    # no false positives: dotted versions / decimals are not 4-octet quads
+    assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (0, 0, 0)
+    assert got[4]["scrubbed"] == got[4]["text"]
+    assert (got[5]["n_email"], got[5]["n_ip"], got[5]["n_phone"]) == (1, 1, 1)
+    assert got[5]["scrubbed"] == "mixed <EMAIL> at <IP> dial <PHONE>"
+
+
+def test_scrub_pii_idempotent_and_shuffle_free(spark):
+    from tests.test_plans import _executed
+
+    from ner_ocr_spark.operators.pii import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(1, "x a@b.cc 1.2.3.4 555-0000 y")], "doc_id long, text string"
+    )
+    once = scrub_pii(docs).select(F.col("scrubbed").alias("text"))
+    twice = scrub_pii(once).collect()[0]
+    assert twice["scrubbed"] == twice["text"]  # tokens never re-match
+    assert (twice["n_email"], twice["n_ip"], twice["n_phone"]) == (0, 0, 0)
+    assert "Exchange" not in _executed(scrub_pii(docs))
