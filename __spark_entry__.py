@@ -655,6 +655,18 @@ def q_embed_quantize(spark, sf):  # int8 embedding quantization
     )
 
 
+def q_chunk_text(spark, sf):  # RAG sliding-window chunking
+    from ner_ocr_spark.operators.textstats import chunk_text
+
+    return chunk_text(_t(spark, sf, "documents"), size=16, overlap=4)
+
+
+def q_term_stats(spark, sf):  # BM25 index-build term statistics
+    from ner_ocr_spark.operators.textstats import term_stats
+
+    return term_stats(_t(spark, sf, "documents"), min_df=2)
+
+
 def q_decontam(spark, sf):  # benchmark n-gram decontamination
     """Training docs sharing any word 3-gram with the deterministic eval
     split (doc_id % 37 == 0) — eval gram hashes broadcast; the training
@@ -1106,6 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "embed_quantize": q_embed_quantize,
         "pii_scrub": q_pii_scrub,
+        "chunk_text": q_chunk_text,
+        "term_stats": q_term_stats,
         "explode_1n": q_explode_1n,
         "poly_bbox": q_poly_bbox,
         "circle_rect": q_circle_rect,
@@ -1735,6 +1749,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(q) AS INT) AS q_min,
                    CAST(list_max(q) AS INT) AS q_max
             FROM q
+        """,
+        "chunk_text": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)),
+                                          '[ \\t\\n\\x0B\\f\\r]+') AS w
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   array_to_string(w[CAST(i*12+1 AS INT):CAST(i*12+16 AS INT)],
+                                   ' ') AS chunk_text,
+                   CAST(len(w[CAST(i*12+1 AS INT):CAST(i*12+16 AS INT)]) AS INT)
+                       AS chunk_words
+            FROM w, LATERAL unnest(range(0,
+                 CAST(ceil(greatest(len(w) - 4, 1) / 12.0) AS BIGINT))) AS t(i)
+        """,
+        "term_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                              '[ \\t\\n\\x0B\\f\\r]+')) AS term
+                FROM documents
+            ), per AS (
+                SELECT term, count(DISTINCT doc_id) AS doc_freq,
+                       count(*) AS term_count
+                FROM toks GROUP BY term
+            ), nn AS (SELECT count(*) AS n FROM documents)
+            SELECT term, doc_freq, term_count,
+                   round(ln((n - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0), 6)
+                       AS idf
+            FROM per, nn WHERE doc_freq >= 2
         """,
         "decontam": """
             WITH w AS (

@@ -262,6 +262,87 @@ def repetition_stats(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    size: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window word chunking (the RAG/embedding-prep shape): one row
+    per chunk of `size` words stepping by `size - overlap`, so consecutive
+    chunks share `overlap` words and no word is dropped. Output:
+    (id, chunk_idx, chunk_text, chunk_words). Pure array expressions + one
+    posexplode — map-only, chunk boundaries are deterministic functions of
+    the word array. The final partial chunk is kept (a trailing remainder
+    shorter than `overlap` would otherwise vanish); a document shorter
+    than `size` yields exactly one chunk."""
+    if not 0 <= overlap < size:
+        raise ValueError("require 0 <= overlap < size")
+    step = size - overlap
+    words_col = "_ck_words"
+    out = df.withColumn(words_col, words_expr(F.col(text_col)))
+    w = F.col(words_col)
+    # number of chunks: ceil(max(n - overlap, 1) / step)
+    n_chunks = F.ceil(
+        F.greatest(F.size(w) - overlap, F.lit(1)) / F.lit(step)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(w, i * step + 1, size),
+    )
+    return (
+        out.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_idx", "_ck"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join("_ck", " ").alias("chunk_text"),
+            F.size("_ck").alias("chunk_words"),
+        )
+    )
+
+
+def term_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus-level term statistics (the BM25/TF-IDF index-build shape):
+    per distinct term, document frequency, total occurrence count, and
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1) (the BM25 idf). One explode
+    -> one (term) hash agg with map-side combine; N rides a scalar
+    broadcast join (the crossJoin side is a 1-row aggregate, not data).
+    `min_df` prunes the hapax tail, which at corpus scale is most of the
+    distinct-term volume."""
+    words_col = "_ts_words"
+    toks = df.withColumn(words_col, words_expr(F.col(text_col))).select(
+        F.col(id_col).alias("_id"), F.explode(words_col).alias("term")
+    )
+    per_term = toks.groupBy("term").agg(
+        F.count_distinct("_id").alias("doc_freq"),
+        F.count("*").alias("term_count"),
+    )
+    n_docs = df.select(F.count("*").alias("_n"))
+    return (
+        per_term.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("doc_freq") >= min_df)
+        .select(
+            "term",
+            "doc_freq",
+            "term_count",
+            F.round(
+                F.log((F.col("_n") - F.col("doc_freq") + 0.5)
+                      / (F.col("doc_freq") + 0.5) + 1.0),
+                6,
+            ).alias("idf"),
+        )
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -284,3 +284,61 @@ def test_scrub_pii_idempotent_and_shuffle_free(spark):
     assert twice["scrubbed"] == twice["text"]  # tokens never re-match
     assert (twice["n_email"], twice["n_ip"], twice["n_phone"]) == (0, 0, 0)
     assert "Exchange" not in _executed(scrub_pii(docs))
+
+
+# -- chunking + term stats -------------------------------------------------------
+
+
+def test_chunk_text_windows_cover_all_words(spark):
+    from ner_ocr_spark.operators.textstats import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(30))),  # 30 words
+         (2, "short doc"),                            # < size: one chunk
+         (3, " ".join(f"u{i}" for i in range(12)))],  # exactly size
+        "doc_id long, text string",
+    )
+    rows = chunk_text(docs, size=12, overlap=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # 30 words, step 8: starts 0,8,16,24 -> 4 chunks, tail is partial
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3]
+    assert c1[0]["chunk_text"].split() == [f"t{i}" for i in range(12)]
+    assert c1[1]["chunk_text"].split()[:4] == ["t8", "t9", "t10", "t11"]  # overlap
+    assert c1[3]["chunk_words"] == 6  # 24..29
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(30)}  # nothing dropped
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_words"] == 2
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_words"] == 12
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    from ner_ocr_spark.operators.textstats import chunk_text
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_text(docs, size=8, overlap=8)
+
+
+def test_term_stats_df_idf(spark):
+    from ner_ocr_spark.operators.textstats import term_stats
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "banana")],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: r for r in term_stats(docs).collect()}
+    assert got["banana"]["doc_freq"] == 3 and got["banana"]["term_count"] == 3
+    assert got["apple"]["doc_freq"] == 1 and got["apple"]["term_count"] == 2
+    # BM25 idf: rarer terms score higher
+    assert got["cherry"]["idf"] > got["banana"]["idf"]
+    assert math.isclose(
+        got["apple"]["idf"], math.log((3 - 1 + 0.5) / 1.5 + 1), rel_tol=1e-5
+    )
+    # min_df prunes the hapax tail
+    pruned = {r["term"] for r in term_stats(docs, min_df=2).collect()}
+    assert pruned == {"banana"}
