@@ -655,6 +655,23 @@ def q_embed_quantize(spark, sf):  # int8 embedding quantization
     )
 
 
+def q_curation_pipeline(spark, sf):  # the COMPOSED training-data pipeline
+    """Flagship composition: gopher quality filter -> repetition filter ->
+    exact-dedup canonical keep -> per-language stratified sample ->
+    sequence packing, in one plan. The DuckDB twin is assembled from the
+    SAME per-stage SQL fragments (per-doc stats are row-independent, so
+    whole-corpus stage oracles compose via keep-joins verbatim)."""
+    from ner_ocr_spark.curation import curate
+    from ner_ocr_spark.operators.packing import shard_hash_md5
+    from ner_ocr_spark.operators.sampling import unit_hash_md5
+
+    docs = _t(spark, sf, "documents")
+    return curate(
+        docs, {"en": 0.6, "de": 0.3}, default_rate=0.2, budget=256,
+        shards=8, seed=7, unit_hash=unit_hash_md5, shard_hash=shard_hash_md5,
+    )
+
+
 def q_chunk_text(spark, sf):  # RAG sliding-window chunking
     from ner_ocr_spark.operators.textstats import chunk_text
 
@@ -1120,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "chunk_text": q_chunk_text,
         "term_stats": q_term_stats,
+        "curation_pipeline": q_curation_pipeline,
         "explode_1n": q_explode_1n,
         "poly_bbox": q_poly_bbox,
         "circle_rect": q_circle_rect,
@@ -2075,5 +2093,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_phone AS BIGINT) AS n_phone,
                md5(t3) AS scrub_md5
         FROM s3
+    """
+    # curation twin: ASSEMBLED from the per-stage fragments above — the
+    # quality/repetition stage SQL is embedded verbatim as subqueries, so
+    # the composition cannot drift from the individually-verified stages
+    out["curation_pipeline"] = f"""
+        WITH gq AS (SELECT doc_id, keep FROM ({out["gopher_filter"]})),
+             rq AS (SELECT doc_id, keep FROM ({out["repetition_stats"]})),
+             kept AS (
+                 SELECT d.doc_id, d.lang, d.text FROM documents d
+                 JOIN gq ON d.doc_id = gq.doc_id AND gq.keep = 1
+                 JOIN rq ON d.doc_id = rq.doc_id AND rq.keep = 1
+             ),
+             keyed AS (
+                 SELECT doc_id, lang, text,
+                        CAST('0x' || substr(md5(trim(regexp_replace(
+                             lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))),
+                             1, 15) AS BIGINT) AS k
+                 FROM kept
+             ),
+             dd AS (
+                 SELECT doc_id, lang, text FROM (
+                     SELECT *, row_number() OVER (
+                         PARTITION BY k ORDER BY doc_id) AS rn
+                     FROM keyed
+                 ) WHERE rn = 1
+             ),
+             samp AS (
+                 SELECT doc_id, lang, text FROM dd
+                 WHERE CAST('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || ':7'), 1, 15) AS BIGINT)
+                       / 1152921504606846976.0
+                       < CASE WHEN lang = 'en' THEN 0.6
+                              WHEN lang = 'de' THEN 0.3
+                              ELSE 0.2 END
+             ),
+             t AS (
+                 SELECT doc_id,
+                        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                             1, 15) AS BIGINT) % 8 AS shard,
+                        CAST(len(string_split_regex(trim(lower(text)),
+                             '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
+                 FROM samp
+             ),
+             c AS (
+                 SELECT doc_id, shard, n_tokens,
+                        CAST(sum(n_tokens) OVER (
+                             PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                            AS start_offset
+                 FROM t
+             )
+        SELECT doc_id, shard, n_tokens, start_offset,
+               CAST(floor(start_offset / 256.0) AS BIGINT) AS seq_first,
+               CAST(floor((start_offset + n_tokens - 1) / 256.0) AS BIGINT)
+                   AS seq_last
+        FROM c
     """
     return out

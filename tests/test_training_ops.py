@@ -342,3 +342,64 @@ def test_term_stats_df_idf(spark):
     # min_df prunes the hapax tail
     pruned = {r["term"] for r in term_stats(docs, min_df=2).collect()}
     assert pruned == {"banana"}
+
+
+# -- composed curation pipeline --------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def wordy_corpus(spark):
+    """Unlike `corpus`, these docs contain stopwords (so the gopher
+    stopword rule does not reject everything) and varied filler."""
+    rows = [
+        (i, ["en", "de"][i % 2],
+         "the quick fox and dog went to town "
+         + " ".join(f"w{(i * 13 + j) % 53} stone" for j in range(4 + i % 9)))
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_curation_pipeline_composes(spark, wordy_corpus):
+    from ner_ocr_spark.curation import curate
+    from ner_ocr_spark.operators.textstats import gopher_filter
+
+    out = curate(wordy_corpus, {"en": 1.0, "de": 1.0}, default_rate=1.0,
+                 budget=64, shards=2)
+    rows = out.collect()
+    # rate 1.0 everywhere: survivors == quality&repetition&dedup keepers
+    kept_q = {r["doc_id"] for r in
+              gopher_filter(wordy_corpus).filter("keep = 1").collect()}
+    got_ids = {r["doc_id"] for r in rows}
+    assert got_ids <= kept_q and len(got_ids) > 0
+    # packing invariant holds on the curated survivors
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in shard_rows:
+            assert r["start_offset"] == offset
+            offset += r["n_tokens"]
+    # deterministic end to end
+    again = {(r["doc_id"], r["start_offset"]) for r in
+             curate(wordy_corpus, {"en": 1.0, "de": 1.0}, default_rate=1.0,
+                    budget=64, shards=2).collect()}
+    assert again == {(r["doc_id"], r["start_offset"]) for r in rows}
+
+
+def test_curation_pipeline_dedups_exact_clones(spark):
+    from ner_ocr_spark.curation import curate
+
+    base = ("the quick brown fox is with a dog and they go to town "
+            "for the day in good cheer")
+    docs = spark.createDataFrame(
+        [(1, "en", base), (2, "en", base.upper()),  # normalized clone
+         (3, "en", base + " extra tail words here")],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["doc_id"] for r in
+           curate(docs, {"en": 1.0}, default_rate=1.0, shards=1).collect()}
+    assert 1 in got and 2 not in got  # min-id canonical survives
+    assert 3 in got
