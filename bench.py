@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "cosine_topk",
     "quality_features",
     "token_count",
+    # added late round 3 (compare suites across rounds per-query: this
+    # entry has no r1/r2 counterpart) — the composed training-data
+    # pipeline: quality -> repetition -> dedup -> sample -> pack
+    "curation_pipeline",
 ]
 
 

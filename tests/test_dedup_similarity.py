@@ -259,3 +259,10 @@ def test_dup_clusters_keeps_one_canonical_per_cluster(spark):
     for i in (0, 3, 6, 8, 9):
         assert got[i] == (i, 1)
     assert sum(k for _, k in got.values()) == 7  # 10 docs - 3 dropped dups
+
+
+def test_connected_components_empty_pairs(spark):
+    from ner_ocr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
