@@ -48,6 +48,12 @@ MEDIA_PER_DOC = int(os.environ.get("SCALING_MEDIA", "2"))
 MODE = os.environ.get("SCALING_MODE", "local")
 EXEC_CORES = int(os.environ.get("SCALING_EXEC_CORES", "4"))
 EXEC_MEM_MB = int(os.environ.get("SCALING_EXEC_MEM_MB", "3072"))
+# SCALING_WORKLOAD=extract (default): the OCR+NER pipeline — python-kernel
+# bound, exercises mapInPandas scaling. SCALING_WORKLOAD=curation: the
+# composed training-data pipeline (gopher -> repetition -> dedup -> sample
+# -> pack) — pure-JVM shuffle/agg bound, the complementary scaling axis.
+WORKLOAD = os.environ.get("SCALING_WORKLOAD", "extract")
+CURATION_DOCS = int(os.environ.get("SCALING_CURATION_DOCS", "300000"))
 
 
 def _master_for(cores: int) -> tuple[str, dict[str, str]]:
@@ -92,6 +98,64 @@ def scaling_corpus(spark, n_docs: int, media_per_doc: int):
     return base.select("doc_id", F.array(*spans).alias("spans"))
 
 
+def curation_corpus(spark, n_docs: int):
+    """Expression-built ~115-word documents: stopword head (passes the
+    gopher rules), per-(doc, position) varying filler (2-grams stay
+    distinct, so repetition keeps), text repeats every 99991 ids (a small
+    exact-dup population for the dedup window)."""
+    from pyspark.sql import functions as F
+
+    segs = [F.lit("the fox and of dog is here")]
+    for j in range(36):
+        segs.append(
+            F.concat(
+                F.lit(" w"),
+                F.pmod(F.col("id") * (2 * j + 7), F.lit(99991)).cast("string"),
+                F.lit(f" red{j} blue{j}"),
+            )
+        )
+    langs = F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"))
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(langs, (F.pmod(F.col("id"), F.lit(4)) + 1).cast("int")).alias("lang"),
+        F.concat(*segs).alias("text"),
+    )
+
+
+def run_level_curation(cores: int) -> dict:
+    from ner_ocr_spark.curation import curate
+    from ner_ocr_spark.session import get_spark
+
+    master, extra = _master_for(cores)
+    spark = get_spark(
+        app_name=f"scaling-cur-{cores}", master=master,
+        shuffle_partitions=max(cores * 4, 32), extra=extra,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = curation_corpus(spark, CURATION_DOCS).cache()
+    n = docs.count()
+    rates = {"en": 0.8, "de": 0.5}
+
+    def job(df):
+        curate(df, rates, default_rate=0.3, budget=2048, shards=cores * 4) \
+            .write.format("noop").mode("overwrite").save()
+
+    job(docs.limit(1024))  # warm codegen
+    # min-of-3: single-shot walls on this box swing ±40% between runs
+    # (hypervisor steal windows — bench.py uses min-of-5 for the same
+    # reason); the minimum is the least-contended estimate of the true cost
+    walls = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        job(docs)
+        walls.append(time.monotonic() - t0)
+    wall = min(walls)
+    spark.stop()
+    return {"cores": cores, "n_docs": n, "wall_s": round(wall, 3),
+            "walls": [round(w, 3) for w in walls],
+            "docs_per_sec": round(n / wall, 2)}
+
+
 def run_level(cores: int) -> dict:
     from ner_ocr_spark import pipeline
     from ner_ocr_spark.session import get_spark
@@ -125,7 +189,8 @@ def run_level(cores: int) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1:
-        print(json.dumps(run_level(int(sys.argv[1]))))
+        fn = run_level_curation if WORKLOAD == "curation" else run_level
+        print(json.dumps(fn(int(sys.argv[1]))))
         return
     results = []
     for cores in LEVELS:
@@ -141,6 +206,7 @@ def main() -> None:
     eff = ratio / (hi["cores"] / lo["cores"])
     summary = {
         "mode": MODE,
+        "workload": WORKLOAD,
         "levels": results,
         "speedup": round(ratio, 3),
         "scaling_efficiency": round(eff, 3),
