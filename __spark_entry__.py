@@ -817,6 +817,66 @@ def q_image_features(spark, sf):  # multimodal image decode (rows-only)
     return image_features(media)
 
 
+def q_funnel(spark, sf):  # ordered conversion funnel (view -> click -> purchase)
+    """Per-user ordered funnel with a 7-day window per step: first view,
+    first click AFTER that view (within 7 d), first purchase AFTER that
+    click (within 7 d); stage = how deep the user got. Conditional-min
+    aggregates + per-step joins on user_id — the step tables are per-user
+    aggregates (tiny at any corpus size), so the joins broadcast."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("epoch")
+    )
+    win = 7 * 86400
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("epoch").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("epoch") >= F.col("t1"))
+                & (F.col("epoch") <= F.col("t1") + win))
+        .groupBy("user_id").agg(F.min("epoch").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("epoch") >= F.col("t2"))
+                & (F.col("epoch") <= F.col("t2") + win))
+        .groupBy("user_id").agg(F.min("epoch").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("t1", F.lit(-1)).alias("t_view"),
+            F.coalesce("t2", F.lit(-1)).alias("t_click"),
+            F.coalesce("t3", F.lit(-1)).alias("t_purchase"),
+            (F.col("t1").isNotNull().cast("int")
+             + F.col("t2").isNotNull().cast("int")
+             + F.col("t3").isNotNull().cast("int")).alias("stage"),
+        )
+    )
+
+
+def q_retention(spark, sf):  # weekly retention cohorts
+    """Cohort = epoch-aligned week of the user's first event; matrix cell
+    (cohort, week_offset) counts distinct users active that many weeks
+    later. Epoch-aligned weeks (floor(epoch/604800)) sidestep engine
+    week-truncation conventions."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 604800).alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    act = ev.distinct().join(first, "user_id")
+    return (
+        act.groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def q_tpch_q1(spark, sf):  # showcase agg (bench headline)
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
     return (
@@ -1145,6 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_search": q_semantic_search,
         "entity_json": q_entity_json,
         "image_features": q_image_features,
+        "funnel": q_funnel,
+        "retention": q_retention,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "percentiles": q_percentiles,
@@ -1988,6 +2050,53 @@ def oracle_sql() -> dict[str, str]:
                        AS win_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS v
             FROM events GROUP BY 1, 2
+        """,
+        "funnel": """
+            WITH ev AS (
+                SELECT user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+                FROM events
+            ), v AS (
+                SELECT user_id, min(epoch) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.epoch) AS t2
+                FROM ev e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click'
+                  AND e.epoch >= v.t1 AND e.epoch <= v.t1 + 604800
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.epoch) AS t3
+                FROM ev e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase'
+                  AND e.epoch >= c.t2 AND e.epoch <= c.t2 + 604800
+                GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   coalesce(v.t1, -1) AS t_view,
+                   coalesce(c.t2, -1) AS t_click,
+                   coalesce(p.t3, -1) AS t_purchase,
+                   CAST(v.t1 IS NOT NULL AS INT)
+                 + CAST(c.t2 IS NOT NULL AS INT)
+                 + CAST(p.t3 IS NOT NULL AS INT) AS stage
+            FROM (SELECT DISTINCT user_id FROM ev) u
+            LEFT JOIN v ON u.user_id = v.user_id
+            LEFT JOIN c ON u.user_id = c.user_id
+            LEFT JOIN p ON u.user_id = p.user_id
+        """,
+        "retention": """
+            WITH ev AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 604800)
+                            AS BIGINT) AS week
+                FROM events
+            ), fw AS (
+                SELECT user_id, min(week) AS cohort FROM ev GROUP BY user_id
+            )
+            SELECT fw.cohort, ev.week - fw.cohort AS week_offset,
+                   count(DISTINCT ev.user_id) AS n_users
+            FROM ev JOIN fw ON ev.user_id = fw.user_id
+            GROUP BY fw.cohort, ev.week - fw.cohort
         """,
         "stream_dedup": """
             SELECT DISTINCT

@@ -403,3 +403,80 @@ def test_curation_pipeline_dedups_exact_clones(spark):
            curate(docs, {"en": 1.0}, default_rate=1.0, shards=1).collect()}
     assert 1 in got and 2 not in got  # min-id canonical survives
     assert 3 in got
+
+
+# -- funnel + retention ---------------------------------------------------------
+
+
+def test_funnel_stage_semantics(spark, monkeypatch, tmp_path):
+    """Ordered-funnel rules: steps must occur AFTER the previous step and
+    within its 7-day window; out-of-order or late events do not convert."""
+    import __spark_entry__ as e
+
+    day = 86400
+    rows = []
+
+    def ev(u, t, typ):
+        rows.append((len(rows), u, typ, float(len(rows)), t))
+
+    ev("full", 10, "view"); ev("full", 20, "click"); ev("full", 30, "purchase")
+    ev("late", 10, "view"); ev("late", 10 + 8 * day, "click")  # click too late
+    ev("ooo", 50, "click"); ev("ooo", 60, "view")  # click BEFORE view
+    ev("ooo", 70, "click"); ev("ooo", 80, "purchase")  # then a full run
+    ev("v", 10, "view")  # stops at stage 1
+    ev("none", 10, "error")  # never enters the funnel
+
+    import pandas as pd
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "value", "epoch"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf.pop("epoch"), unit="s")
+    pdf["props"] = "{}"
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(pdf).write.parquet(f"{src}/events.parquet")
+
+    got = {r["user_id"]: r for r in e.q_funnel(spark, src).collect()}
+    assert got["full"]["stage"] == 3 and got["full"]["t_purchase"] == 30
+    assert got["late"]["stage"] == 1 and got["late"]["t_click"] == -1
+    # ooo: first view at 60, first click after it at 70, purchase at 80
+    assert got["ooo"]["stage"] == 3
+    assert (got["ooo"]["t_view"], got["ooo"]["t_click"],
+            got["ooo"]["t_purchase"]) == (60, 70, 80)
+    assert got["v"]["stage"] == 1
+    assert got["none"]["stage"] == 0 and got["none"]["t_view"] == -1
+
+
+def test_retention_cohort_matrix(spark, tmp_path):
+    import pandas as pd
+
+    import __spark_entry__ as e
+
+    week = 604800
+    rows = [  # u1 cohort week 0, active weeks 0,1,3; u2 cohort 1, active 1
+        (1, "u1", "view", 0.0, 100), (2, "u1", "view", 0.0, week + 5),
+        (3, "u1", "view", 0.0, 3 * week + 5), (4, "u2", "view", 0.0, week + 9),
+        (5, "u1", "click", 0.0, 110),  # same week, still one distinct user
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "value", "epoch"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf.pop("epoch"), unit="s")
+    pdf["props"] = "{}"
+    src = str(tmp_path / "ev2")
+    spark.createDataFrame(pdf).write.parquet(f"{src}/events.parquet")
+
+    got = {(r["cohort"], r["week_offset"]): r["n_users"]
+           for r in e.q_retention(spark, src).collect()}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+def test_repetition_stats_shuffle_carries_hashes_not_strings(spark, corpus):
+    """The round-3 shuffle diet: the gram count aggregate shuffles
+    (id, n, int64-hash) — gram STRINGS must not survive past the first
+    projection (a map-only HOF-fold variant was measured 10x slower in
+    absolute wall: interpreted lambda cost dwarfs the shuffle savings —
+    BENCH.md has the three-way A/B)."""
+    from ner_ocr_spark.operators.textstats import repetition_stats
+
+    plan = repetition_stats(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan and "Exchange" in plan
