@@ -52,3 +52,29 @@ def export_results(
     )
     out = strip_payload(assembled).withColumn("run_meta", F.lit(cfg_json))
     out.write.mode(mode).json(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    order_col: str = "start_offset",
+    max_records_per_file: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Training-data layout sink: one directory per shard
+    (`shard=N/part-*.parquet`), rows sorted by `order_col` within files so
+    a sequential trainer streams each shard's token stream in packing
+    order without a read-side sort. Pairs with packing.pack_sequences
+    (whose shard/offset columns define the layout); max_records_per_file
+    bounds individual files for parallel readers. The repartition keys on
+    the shard column so each shard's rows land in one task's files —
+    partitionBy alone would scatter every shard across all tasks' files,
+    breaking the one-directory-one-stream property."""
+    out = df.repartition(F.col(shard_col)).sortWithinPartitions(
+        shard_col, order_col
+    )
+    w = out.write.mode(mode).partitionBy(shard_col)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(int(max_records_per_file)))
+    w.parquet(path)

@@ -62,3 +62,37 @@ def test_export_results_bundles_config(spark, documents_df, tmp_path):
     meta = json.loads(back.select("run_meta").first()["run_meta"])
     assert meta["run_id"] == "r42"
     assert "max_side_limit: 1200" in meta["config_yaml"]
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """Shard directories + in-file packing order: a sequential read of any
+    one shard directory yields rows in start_offset order."""
+    from pyspark.sql import functions as F
+
+    from ner_ocr_spark.operators.packing import pack_sequences, shard_hash_md5
+    from ner_ocr_spark.sinks import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5 + i % 7))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    packed = pack_sequences(docs, budget=64, shards=4,
+                            shard_hash=shard_hash_md5)
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, out)
+
+    import os
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shard_dirs) == 4
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    for d in shard_dirs:
+        rows = spark.read.parquet(f"{out}/{d}").select(
+            "start_offset", F.input_file_name().alias("f")
+        ).collect()
+        # rows within each file arrive in packing order
+        by_file: dict[str, list] = {}
+        for r in rows:
+            by_file.setdefault(r["f"], []).append(r["start_offset"])
+        for offs in by_file.values():
+            assert offs == sorted(offs)
