@@ -1111,6 +1111,7 @@ def q_stream_dedup(spark, sf):  # state-backed streaming dedup, value-checked
     dd = stream_dedup(
         stream,
         base_hash=lambda c, s: md5_hash60(F.concat(c, F.lit(f"#{s}"))),
+        keep_key=True,
     )
     name = f"qsd_{uuid.uuid4().hex[:8]}"
     q = (

@@ -274,6 +274,7 @@ def make_refine_stage(
     fine_step: float = 0.05,
     pdf_rasterizer: Callable[[bytes, float], list[bytes]] | str | None = "auto",
     pdf_zoom: float = 2.0,
+    pdf_max_pages: int | None = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Second-pass refinement (reference M2 / TrOCR analog,
     /root/reference/src/transformer_ocr.py:189-283): re-recognize a page
@@ -290,10 +291,15 @@ def make_refine_stage(
     comes from its line_idx base (page_idx * 100000 + line — the pdf branch
     ordering invariant), so workbench enhancement covers pdf pages with the
     same semantics as native media. pdf_rasterizer=None keeps pdf rows
-    untouched (their rasterization attempt fails closed to []).
+    untouched (their rasterization attempt fails closed to []);
+    pdf_max_pages truncates rasterization the same way the first pass did
+    (rows past it cannot exist, so rasterizing those pages is pure waste).
 
-    Input/output: OCR_SCHEMA rows. Failures — and rows already carrying an
-    error — keep the first-pass row (error absorption)."""
+    When an input batch carries an `image_png` column (the blobs= media
+    path, where payloads ride the rows instead of resolving by ref), the
+    group's first non-null payload IS the blob — the resolver is only the
+    fallback. Output: OCR_SCHEMA rows. Failures — and rows already
+    carrying an error — keep the first-pass row (error absorption)."""
     from ner_ocr_spark import corpus
     from ner_ocr_spark.kernels import ocr
 
@@ -318,13 +324,15 @@ def make_refine_stage(
         line_cache: OrderedDict[tuple[str, int], list] = OrderedDict()
         page_cap, line_cap = 8, 64
 
-        def page_list(ref: str) -> list[bytes]:
+        def page_list(ref: str, payload: bytes | None) -> list[bytes]:
             if ref in page_cache:
                 page_cache.move_to_end(ref)
                 return page_cache[ref]
-            raw = bytes(resolver(ref))
+            raw = bytes(payload) if payload is not None else bytes(resolver(ref))
             if pdf_rasterizer is not None and raw[:5] == b"%PDF-":
                 pages = [bytes(p) for p in pdf_rasterizer(raw, pdf_zoom)]
+                if pdf_max_pages is not None:
+                    pages = pages[: int(pdf_max_pages)]
             else:
                 pages = [raw]
             page_cache[ref] = pages
@@ -332,13 +340,13 @@ def make_refine_stage(
                 page_cache.popitem(last=False)
             return pages
 
-        def refined_lines(ref: str, page: int):
+        def refined_lines(ref: str, page: int, payload: bytes | None):
             key = (ref, page)
             if key in line_cache:
                 line_cache.move_to_end(key)
                 return line_cache[key]
             try:
-                pages = page_list(ref)
+                pages = page_list(ref, payload)
                 if page >= len(pages):
                     lines = []
                 else:
@@ -364,17 +372,31 @@ def make_refine_stage(
             # error rows never refine (M6: they carry no geometry/text and
             # must stay NULL through both transformer columns)
             ok_all = pdf["error"].isna().to_numpy()
+            has_payload = "image_png" in pdf.columns
             # one decode per page, vectorized assignment per media_ref group
             # (no per-row python loop, no .at writes — round-2 verdict #5)
             for ref, pos in pdf.groupby("media_ref", sort=False).indices.items():
+                payload = None
+                if has_payload:
+                    for v in pdf["image_png"].iloc[pos]:
+                        if v is not None:
+                            payload = v
+                            break
                 li = li_all[pos]
                 pg = li // 100000  # 0 for native media, page_idx for pdf rows
                 for page in np.unique(pg):
-                    lines = refined_lines(ref, int(page))
+                    lines = refined_lines(ref, int(page), payload)
                     if not lines:
                         continue
                     on_page = pg == page
                     lp = li[on_page] % 100000
+                    # alignment guard (mirrors the in-stage second pass,
+                    # make_ocr_stage): if the fine-deskew segmentation found
+                    # a DIFFERENT number of lines than the first pass (max
+                    # first-pass index + 1), per-line pairing is undefined —
+                    # keep the first pass rather than attach the wrong line
+                    if len(lines) != int(lp.max()) + 1:
+                        continue
                     in_range = (lp < len(lines)) & ok_all[pos][on_page]
                     sel = pdf.index[pos[on_page][in_range]]
                     hit = lp[in_range]
@@ -382,7 +404,9 @@ def make_refine_stage(
                     pdf.loc[sel, "transformer_score"] = [
                         float(lines[i].score) for i in hit
                     ]
-            yield pdf
+            # project to the declared output schema (the input batch may
+            # carry an extra image_png payload column)
+            yield pdf[list(OCR_SCHEMA.fieldNames())]
 
     return stage
 

@@ -25,11 +25,12 @@ from ner_ocr_spark.operators.textstats import token_count_ws
 
 def shard_hash_md5(col: Column, shards: int) -> Column:
     """Portable shard assignment (DuckDB twin:
-    CAST('0x' || substr(md5(key), 1, 15) AS BIGINT) % shards)."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long"),
-        F.lit(shards),
-    )
+    CAST('0x' || substr(md5(key), 1, 15) AS BIGINT) % shards). Built on
+    dedup.md5_hash60 so the load-bearing 60-bit md5 idiom has ONE
+    definition shared with every oracle twin."""
+    from ner_ocr_spark.operators.dedup import md5_hash60
+
+    return F.pmod(md5_hash60(col.cast("string")), F.lit(shards))
 
 
 def shard_hash_xx(col: Column, shards: int) -> Column:

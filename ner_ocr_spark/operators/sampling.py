@@ -27,15 +27,16 @@ _UNIT = float(1 << 60)
 
 def unit_hash_md5(col: Column, seed: int = 0) -> Column:
     """Portable unit float in [0, 1): top 60 bits of md5(key ':' seed)
-    scaled down. DuckDB twin:
+    scaled down (via dedup.md5_hash60 — one definition of the load-bearing
+    md5 idiom). DuckDB twin:
     CAST('0x' || substr(md5(key || ':seed'), 1, 15) AS BIGINT)
         / 1152921504606846976.0
     The int->double conversion and the power-of-two division round
     identically under IEEE-754 on both engines."""
+    from ner_ocr_spark.operators.dedup import md5_hash60
+
     keyed = F.concat(col.cast("string"), F.lit(f":{seed}"))
-    return (
-        F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long") / F.lit(_UNIT)
-    )
+    return md5_hash60(keyed) / F.lit(_UNIT)
 
 
 def unit_hash_xx(col: Column, seed: int = 0) -> Column:

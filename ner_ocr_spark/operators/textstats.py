@@ -211,8 +211,11 @@ def repetition_stats(
     plus the composite keep flag. Shape: ONE explode of (n, gram) pairs ->
     codegen count agg -> conditional-agg re-group per doc (two shuffles,
     both map-side combined; no interpreted HOF counting, which would be
-    O(n^2) per document). Output fractions are rounded; empty/one-gram
-    docs get sentinel 0 fractions, never NULL."""
+    O(n^2) per document). Output fractions are rounded and never NULL;
+    NOTE an empty/one-gram doc's single (possibly partial) gram is
+    trivially the top gram, so top2/top3_frac = 1.0 and keep = 0 — compose
+    with gopher_filter's word_count rule (as curation.curate does) if tiny
+    docs should be judged on length, not repetition."""
     words_col = "_rs_words"
     base = df.select(
         F.col(id_col), words_expr(F.col(text_col)).alias(words_col)

@@ -189,6 +189,7 @@ def stream_dedup(
     ts_col: str | None = None,
     watermark: str = "1 hour",
     base_hash=None,
+    keep_key: bool = False,
 ) -> DataFrame:
     """Streaming exact dedup: keep the FIRST-arriving row per 128-bit
     normalized-content key (two seeded hashes of the dedup normalizer —
@@ -203,7 +204,9 @@ def stream_dedup(
 
     Which row survives WITHIN one microbatch is engine-chosen (standard
     dropDuplicates semantics); the content KEY set is deterministic, and
-    cross-batch suppression is exact (state-backed)."""
+    cross-batch suppression is exact (state-backed). Output carries the
+    INPUT columns; the internal key columns are dropped unless
+    keep_key=True (the driver's value-check compares the key set)."""
     from ner_ocr_spark.operators.dedup import normalize_for_dedup
 
     bh = base_hash or (lambda c, s: F.xxhash64(c, F.lit(s)))
@@ -213,8 +216,10 @@ def stream_dedup(
         keyed = keyed.withColumn(
             ts_col, F.col(ts_col).cast("timestamp")
         ).withWatermark(ts_col, watermark)
-        return keyed.dropDuplicatesWithinWatermark(["h1", "h2"])
-    return keyed.dropDuplicates(["h1", "h2"])
+        out = keyed.dropDuplicatesWithinWatermark(["h1", "h2"])
+    else:
+        out = keyed.dropDuplicates(["h1", "h2"])
+    return out if keep_key else out.drop("h1", "h2")
 
 
 def stream_metrics(

@@ -82,7 +82,8 @@ class Workbench:
         extract_kwargs.setdefault("with_ner", False)
         self._extract_opts = {
             k: extract_kwargs[k]
-            for k in ("blob_resolver", "pdf_rasterizer", "pdf_zoom")
+            for k in ("blob_resolver", "pdf_rasterizer", "pdf_zoom",
+                      "pdf_max_pages", "blobs")
             if k in extract_kwargs
         }
         return self._set("ocr", pipeline.extract_spans(docs, **extract_kwargs))
@@ -142,11 +143,23 @@ class Workbench:
         hit = media_rows.join(F.broadcast(hit_refs), "media_ref", "left_semi")
         rest = media_rows.join(F.broadcast(hit_refs), "media_ref", "left_anti")
         opts = self._extract_opts
-        refined = hit.select(*OCR_SCHEMA.fieldNames()).mapInPandas(
+        refine_in = hit.select(*OCR_SCHEMA.fieldNames())
+        if opts.get("blobs") is not None:
+            # blobs= media path: payloads ride the rows (there may be no
+            # resolver at all — and the default resolver FABRICATES a
+            # synthetic page for any ref, which would overwrite
+            # transformer_text with garbage). Join the payload back in; the
+            # stage prefers it over the resolver.
+            refine_in = refine_in.join(
+                opts["blobs"].select("media_ref", "image_png"),
+                "media_ref", "left",
+            )
+        refined = refine_in.mapInPandas(
             make_refine_stage(
                 blob_resolver=opts.get("blob_resolver"),
                 pdf_rasterizer=opts.get("pdf_rasterizer", "auto"),
                 pdf_zoom=opts.get("pdf_zoom", 2.0),
+                pdf_max_pages=opts.get("pdf_max_pages"),
             ),
             OCR_SCHEMA,
         )

@@ -137,7 +137,11 @@ def run_level_curation(cores: int) -> dict:
     rates = {"en": 0.8, "de": 0.5}
 
     def job(df):
-        curate(df, rates, default_rate=0.3, budget=2048, shards=cores * 4) \
+        # shards FIXED across levels: tying shards to the core count would
+        # make the two levels different jobs (different shard hashing and
+        # window partitioning), so speedup would conflate resource scaling
+        # with workload change. 128 gives every level >= 4 waves.
+        curate(df, rates, default_rate=0.3, budget=2048, shards=128) \
             .write.format("noop").mode("overwrite").save()
 
     job(docs.limit(1024))  # warm codegen

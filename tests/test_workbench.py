@@ -112,10 +112,12 @@ def test_refine_stage_skips_error_rows(spark):
 
     from ner_ocr_spark.operators.extract import make_refine_stage
 
-    # any ref renders: corpus.render_media_blob is a pure function of the key
+    # any ref renders: corpus.render_media_blob is a pure function of the
+    # key; this one renders a straight 2-line page, so rows at line 0/1
+    # satisfy the refine alignment guard (len(lines) == max idx + 1)
     ref = "media/error-guard/0"
     batch = pd.DataFrame({
-        "doc_id": ["d", "d"], "span_idx": [0, 0], "line_idx": [0, 0],
+        "doc_id": ["d", "d"], "span_idx": [0, 0], "line_idx": [0, 1],
         "kind": ["media", "media"], "text": [None, "SOME TEXT"],
         "media_ref": [ref, ref],
         "box": [None, [0.0, 0.0, 1.0, 1.0]], "score": [None, 0.5],
@@ -129,3 +131,40 @@ def test_refine_stage_skips_error_rows(spark):
     # ...while the error row stayed NULL on both transformer columns
     assert pd.isna(out.iloc[0]["transformer_text"])
     assert pd.isna(out.iloc[0]["transformer_score"])
+
+
+def test_enhancement_uses_blobs_payloads(spark):
+    """blobs= media path (payloads ride the rows; no resolver): the refine
+    stage must use the PROVIDED payload. The default resolver fabricates a
+    synthetic page for ANY ref, so before the fix this silently overwrote
+    transformer_text with OCR of an unrelated page."""
+    from ner_ocr_spark import corpus
+    from ner_ocr_spark.kernels.normalize import normalize_text
+    from tests.conftest import DOC_SCHEMA
+
+    donor_ref = "donor/page/1"  # content differs from anything 'store/x' fabricates
+    blob = corpus.render_media_blob(donor_ref)
+    truth = [normalize_text(t) for t in corpus.media_truth_text(donor_ref)]
+
+    docs = spark.createDataFrame(
+        [{
+            "doc_id": "b0",
+            "spans": [{"kind": "media", "text": None,
+                       "media_ref": "store/x", "offset": 0}],
+        }],
+        DOC_SCHEMA,
+    )
+    blobs = spark.createDataFrame(
+        [("store/x", bytearray(blob))], "media_ref string, image_png binary"
+    )
+    w = Workbench()
+    w.load(docs)
+    w.run_ocr(blobs=blobs)
+    w.run_search("positional", x1=0.0, y1=0.0, x2=1e6, y2=1e6)
+    rows = w.run_enhancement().filter(
+        "kind = 'media' and error is null and text is not null"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["transformer_text"] is not None
+        assert normalize_text(r["transformer_text"]) == truth[r["line_idx"]]
