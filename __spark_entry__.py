@@ -416,6 +416,49 @@ def q_dup_clusters(spark, sf):  # pair graph -> transitive clusters, value-check
     return dup_clusters(docs, e1.unionByName(e2))
 
 
+def q_fingerprint_pairs(spark, sf):  # winnowing containment pairs, value-checked
+    """5th dedup family: pairs sharing >= 2 winnowing fingerprint hashes
+    (shared >= window+k-1-char runs — catches a paragraph LIFTED into a
+    larger doc, which whole-document Jaccard dilutes away). Containment is
+    synthesized deterministically: every doc gets the first 60 chars of
+    its decade-anchor doc appended, identically in the DuckDB twin."""
+    from ner_ocr_spark.operators.dedup import fingerprint_pairs
+
+    def md5_gram_hash(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    anchors = docs.select(
+        F.col("doc_id").alias("aid"), F.substring("text", 1, 60).alias("frag")
+    )
+    inj = docs.join(
+        anchors, docs["doc_id"] - docs["doc_id"] % 10 == anchors["aid"]
+    ).select("doc_id", F.concat("text", F.lit(" "), "frag").alias("text"))
+    # spread BEFORE the per-doc winnowing: the sf parquet is one split, so
+    # without this the interpreted k-gram/window pass runs on a single
+    # task (measured 351 s -> the map parallelizes across cores; at corpus
+    # scale the source already has many splits and this is a no-op cost)
+    inj = inj.repartition(32, "doc_id")
+    return fingerprint_pairs(inj, min_shared=2, base_hash=md5_gram_hash)
+
+
+def q_source_mix(spark, sf):  # per-source corpus mixing report
+    """Domain-mixing health report: per source, volume, token mass, mean
+    word length, and the gopher keep rate — what a curation run reports
+    per upstream domain before choosing sampling weights."""
+    from ner_ocr_spark.operators.textstats import gopher_filter
+
+    docs = _t(spark, sf, "documents")
+    g = gopher_filter(docs)
+    return g.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        F.round(F.avg("mean_word_len"), 4).alias("avg_word_len"),
+        F.sum("keep").cast("long").alias("n_keep"),
+        F.round(F.avg(F.col("keep").cast("double")), 4).alias("keep_rate"),
+    )
+
+
 def q_cosine_topk(spark, sf):
     from ner_ocr_spark.operators.similarity import brute_force_topk
 
@@ -1177,6 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "dup_clusters": q_dup_clusters,
+        "fingerprint_pairs": q_fingerprint_pairs,
+        "source_mix": q_source_mix,
         "simhash_sig": q_simhash_sig,
         "simhash_candidates": q_simhash_candidates,
         "simhash_pairs_md5": q_simhash_pairs_md5,
@@ -2168,6 +2213,52 @@ def oracle_sql() -> dict[str, str]:
     ivf = _ivf_oracle_sql()
     if ivf is not None:
         out["ivf_topk"] = ivf
+    out["fingerprint_pairs"] = """
+        WITH inj AS (
+            SELECT d.doc_id, d.text || ' ' || substr(a.text, 1, 60) AS raw
+            FROM documents d
+            JOIN documents a ON a.doc_id = d.doc_id - d.doc_id % 10
+            WHERE d.doc_id < 200
+        ), n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(raw),
+                        '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
+            FROM inj
+        ), h AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(length(t) - 7, 1) + 1),
+                       i -> CAST('0x' || substr(md5(substr(t, CAST(i AS INT), 8)),
+                                                1, 15) AS BIGINT)) AS hs
+            FROM n
+        ), w AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(hs) - 15, 1) + 1),
+                       j -> list_min(hs[j:j+15]))) AS fp
+            FROM h
+        ), e AS (SELECT doc_id, len(fp) AS n_fp, unnest(fp) AS h FROM w)
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared,
+               round(count(*) / CAST(any_value(l.n_fp) + any_value(r.n_fp)
+                                     - count(*) AS DOUBLE), 4) AS fp_jaccard
+        FROM e l JOIN e r ON l.h = r.h AND l.doc_id < r.doc_id
+        GROUP BY l.doc_id, r.doc_id
+        HAVING count(*) >= 2
+    """
+    out["source_mix"] = f"""
+        WITH g AS (
+            SELECT doc_id, n_words, mean_word_len, keep
+            FROM ({out["gopher_filter"]})
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(sum(g.n_words) AS BIGINT) AS n_tokens,
+               round(avg(g.mean_word_len), 4) AS avg_word_len,
+               CAST(sum(g.keep) AS BIGINT) AS n_keep,
+               round(avg(CAST(g.keep AS DOUBLE)), 4) AS keep_rate
+        FROM documents d JOIN g ON d.doc_id = g.doc_id
+        GROUP BY d.source
+    """
     # PII twin: the pattern strings are shared VERBATIM from operators/pii
     # (RE2-compatible subset), injected PII is the same pure function of
     # doc_id on both engines

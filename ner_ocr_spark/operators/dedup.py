@@ -311,6 +311,67 @@ def _hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def fingerprint_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 16,
+    min_shared: int = 2,
+    base_hash=None,
+) -> DataFrame:
+    """Containment/plagiarism candidate pairs via WINNOWING fingerprints
+    (the 5th dedup family, complementing exact/MinHash/SimHash/Jaccard):
+    two documents sharing >= min_shared selected winnowing hashes share
+    that many >= (window+k-1)-char runs. Bucket join on the selected
+    hashes — each doc contributes only its fingerprint set (~2/window of
+    its k-gram count), so the join input is a small fraction of the text,
+    and pairs count shared hashes with one aggregate. Catches asymmetric
+    CONTAINMENT (a paragraph lifted into a larger doc) that whole-document
+    Jaccard/minhash dilutes away."""
+    from ner_ocr_spark.operators.textstats import fingerprint
+
+    fp = fingerprint(df.select(id_col, text_col), text_col=text_col,
+                     k=k, window=window, base_hash=base_hash)
+    # PERF barrier, do not "simplify": exploding the fingerprint column
+    # directly lets the optimizer fold the whole winnowing chain into the
+    # generator as ONE expression tree, where the k-gram hash array lands
+    # inside the window-min lambda and is RE-EVALUATED per window position
+    # (the CLAUDE.md HOF sharp edge, reached through CollapseProject +
+    # Generate — reference-counting tricks do NOT survive the Generate
+    # pull-in; measured 324 s vs 3 s on 200 docs). A cache boundary
+    # (InMemoryRelation) is the one barrier optimization cannot cross; the
+    # cached table is tiny (id + ~2/window of the k-gram count as longs)
+    # and BOTH join sides read it, so fingerprints compute exactly once.
+    fp = fp.select(F.col(id_col).alias("id"), "fingerprint").persist()
+    hashes = fp.select(
+        "id",
+        F.size("fingerprint").alias("n_fp"),
+        F.explode("fingerprint").alias("h"),
+    )
+    l, r = hashes.alias("l"), hashes.alias("r")
+    shared = F.count("*")
+    return (
+        l.join(r, on=[F.col("l.h") == F.col("r.h"),
+                      F.col("l.id") < F.col("r.id")])
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(
+            shared.alias("n_shared"),
+            F.first(F.col("l.n_fp")).alias("_na"),
+            F.first(F.col("r.n_fp")).alias("_nb"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "id_a", "id_b", "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared")).cast("double"),
+                4,
+            ).alias("fp_jaccard"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

@@ -266,3 +266,27 @@ def test_connected_components_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_fingerprint_pairs_containment(spark):
+    """Winnowing pair generation: a paragraph LIFTED into a larger doc
+    shares fingerprints with its source (the containment case that
+    whole-document jaccard dilutes); unrelated docs share none."""
+    from ner_ocr_spark.operators.dedup import fingerprint_pairs
+
+    para = ("the quick brown fox jumps over the lazy dog while the "
+            "green table stands near the old stone house by the river")
+    filler = ("completely different content about spark catalyst tungsten "
+              "arrow shuffle partitions adaptive execution and columnar io "
+              "with many more words that never mention the animals at all")
+    docs = spark.createDataFrame(
+        [(1, para), (2, filler + " " + para + " " + filler), (3, filler)],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r for r in
+           fingerprint_pairs(docs, min_shared=2).collect()}
+    assert (1, 2) in got  # containment detected
+    pair = got[(1, 2)]
+    assert pair["n_shared"] >= 2
+    assert 0.0 < pair["fp_jaccard"] <= 1.0
+    assert (1, 3) not in got  # unrelated docs share nothing
