@@ -7,6 +7,11 @@ Modes:
   entity  — NER + layout assembly over a stage-1 output table
             (reference --mode entity re-reads stage-1 JSON,
              /root/reference/src/pipelines/entity.py:41-42)
+  curate  — training-data curation over documents(doc_id, lang, text):
+            quality filter -> repetition filter -> exact-dedup -> per-lang
+            stratified sample -> sequence packing, written as shard-
+            partitioned training layout (curation.curate +
+            sinks.write_training_shards)
 
 Run locally:
     python -m ner_ocr_spark extract -i docs.parquet -o out/
@@ -23,7 +28,7 @@ import sys
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="ner_ocr_spark")
-    p.add_argument("mode", choices=["extract", "ocr", "entity"])
+    p.add_argument("mode", choices=["extract", "ocr", "entity", "curate"])
     p.add_argument("-i", "--input", required=True,
                    help="parquet path of documents(doc_id, spans) — or of "
                         "stage-1 span rows for mode=entity")
@@ -39,7 +44,27 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--master", default=None)
     p.add_argument("--line-threshold", type=float, default=10.0)
     p.add_argument("--gap-threshold", type=float, default=50.0)
+    p.add_argument("--rates", default=None,
+                   help="curate: per-stratum keep rates, e.g. en=0.5,de=0.2")
+    p.add_argument("--default-rate", type=float, default=1.0,
+                   help="curate: keep rate for strata not in --rates")
+    p.add_argument("--budget", type=int, default=2048,
+                   help="curate: tokens per packed training sequence")
+    p.add_argument("--shards", type=int, default=64,
+                   help="curate: independent packing streams")
+    p.add_argument("--seed", type=int, default=7,
+                   help="curate: sampling hash seed")
     return p.parse_args(argv)
+
+
+def parse_rates(spec: str | None) -> dict[str, float]:
+    if not spec:
+        return {}
+    out = {}
+    for part in spec.split(","):
+        k, v = part.split("=")
+        out[k.strip()] = float(v)
+    return out
 
 
 def load_gazetteer(path: str | None) -> list[tuple[str, str]] | None:
@@ -69,6 +94,27 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"ner_ocr_spark-{args.mode}", master=args.master)
     gaz = load_gazetteer(args.gazetteer)
+
+    if args.mode == "curate":
+        from ner_ocr_spark.curation import curate
+        from ner_ocr_spark.sinks import write_training_shards
+
+        docs = spark.read.parquet(args.input)
+        placed = curate(
+            docs, parse_rates(args.rates), default_rate=args.default_rate,
+            budget=args.budget, shards=args.shards, seed=args.seed,
+        )
+        # join the surviving text back so each shard file is directly
+        # trainable (placement + payload); the placement side is the
+        # post-curation survivor set
+        out = placed.join(docs.select("doc_id", "text"), "doc_id")
+        write_training_shards(out, args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"mode": "curate", "output": args.output,
+                          "n_docs": n, "shards": args.shards,
+                          "budget": args.budget}))
+        spark.stop()
+        return 0
 
     if args.mode in ("extract", "ocr"):
         docs = spark.read.parquet(args.input)

@@ -96,3 +96,48 @@ def test_write_training_shards_layout(spark, tmp_path):
             by_file.setdefault(r["f"], []).append(r["start_offset"])
         for offs in by_file.values():
             assert offs == sorted(offs)
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    """python -m ner_ocr_spark curate: documents in -> shard-partitioned
+    trainable parquet out (own JVM via subprocess; the CLI owns its
+    session lifecycle)."""
+    import json as json_mod
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "shards")
+    spark.createDataFrame(
+        [(i, ["en", "de"][i % 2],
+          "the quick fox and dog went to town "
+          + " ".join(f"w{(i * 13 + j) % 53} stone" for j in range(4 + i % 9)))
+         for i in range(80)],
+        "doc_id long, lang string, text string",
+    ).write.parquet(src)
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "ner_ocr_spark", "curate",
+         "-i", src, "-o", out, "--rates", "en=1.0", "--default-rate", "1.0",
+         "--budget", "64", "--shards", "2", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json_mod.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["mode"] == "curate" and stats["n_docs"] > 0
+
+    import duckdb
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT shard, count(*) AS n, min(start_offset) AS mn "
+        f"FROM read_parquet('{out}/*/*.parquet', hive_partitioning=1) "
+        f"GROUP BY shard ORDER BY shard"
+    ).fetchall()
+    assert len(rows) == 2  # both shard directories materialized
+    for _, n, mn in rows:
+        assert n > 0 and mn == 0  # each stream starts at offset 0
+    cols = con.sql(
+        f"SELECT * FROM read_parquet('{out}/*/*.parquet', hive_partitioning=1) LIMIT 1"
+    ).columns
+    assert "text" in cols and "seq_first" in cols  # trainable payload+placement
