@@ -860,6 +860,34 @@ def q_image_features(spark, sf):  # multimodal image decode (rows-only)
     return image_features(media)
 
 
+def q_interval_join(spark, sf):  # bucketized range join, value-checked
+    """Point-in-interval join via time bucketing (operators/ranges): every
+    click landing inside a same-user signup's 90-minute attribution
+    window. The naive BETWEEN theta-join is nested-loop; the bucketed form
+    is a pure equi-join + refine (plan-gated in tests)."""
+    from ner_ocr_spark.operators.ranges import interval_join
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("epoch"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("epoch").alias("s"),
+        (F.col("epoch") + 5400).alias("e"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "epoch"
+    )
+    out = interval_join(clicks, signups, point_ts="epoch", start_col="s",
+                        end_col="e", keys=["user_id"], bucket=3600)
+    return out.select(
+        "user_id", "click_id", "signup_id",
+        (F.col("epoch") - F.col("s")).alias("delay_s"),
+    )
+
+
 def q_funnel(spark, sf):  # ordered conversion funnel (view -> click -> purchase)
     """Per-user ordered funnel with a 7-day window per step: first view,
     first click AFTER that view (within 7 d), first purchase AFTER that
@@ -1251,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_search": q_semantic_search,
         "entity_json": q_entity_json,
         "image_features": q_image_features,
+        "interval_join": q_interval_join,
         "funnel": q_funnel,
         "retention": q_retention,
         "tpch_q1": q_tpch_q1,
@@ -2096,6 +2125,25 @@ def oracle_sql() -> dict[str, str]:
                        AS win_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS v
             FROM events GROUP BY 1, 2
+        """,
+        "interval_join": """
+            WITH ev AS (
+                SELECT user_id, event_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+                FROM events
+            ), signups AS (
+                SELECT user_id, event_id AS signup_id, epoch AS s,
+                       epoch + 5400 AS e
+                FROM ev WHERE event_type = 'signup'
+            ), clicks AS (
+                SELECT user_id, event_id AS click_id, epoch
+                FROM ev WHERE event_type = 'click'
+            )
+            SELECT c.user_id, c.click_id, sg.signup_id,
+                   c.epoch - sg.s AS delay_s
+            FROM clicks c JOIN signups sg
+              ON c.user_id = sg.user_id
+             AND c.epoch >= sg.s AND c.epoch <= sg.e
         """,
         "funnel": """
             WITH ev AS (

@@ -131,3 +131,15 @@ def test_cosine_topk_broadcasts_queries(spark):
 
     plan = _executed(e.q_cosine_topk(spark, SF))
     assert "Broadcast" in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The bucketized range join must execute as an EQUI join (hash/sort
+    merge on keys+bucket); the naive BETWEEN theta-join degenerates to
+    BroadcastNestedLoopJoin / cartesian — the scale-killer this operator
+    exists to avoid."""
+    import __spark_entry__ as e
+
+    plan = _executed(e.q_interval_join(spark, SF))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan

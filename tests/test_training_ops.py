@@ -480,3 +480,31 @@ def test_repetition_stats_shuffle_carries_hashes_not_strings(spark, corpus):
 
     plan = repetition_stats(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan and "Exchange" in plan
+
+
+# -- interval join --------------------------------------------------------------
+
+
+def test_interval_join_semantics(spark):
+    from ner_ocr_spark.operators.ranges import interval_join
+
+    pts = spark.createDataFrame(
+        [("u1", 1, 100), ("u1", 2, 7100), ("u1", 5, 7200),
+         ("u1", 3, 10_000), ("u2", 4, 100)],
+        "user_id string, pid long, epoch long",
+    )
+    ivs = spark.createDataFrame(
+        # u1: [50, 7200] spans 3 buckets at bucket=3600; u2: disjoint
+        [("u1", 10, 50, 7200), ("u2", 11, 5000, 6000)],
+        "user_id string, iid long, s long, e long",
+    )
+    got = {(r["pid"], r["iid"]) for r in
+           interval_join(pts, ivs, "epoch", "s", "e",
+                         keys=["user_id"], bucket=3600).collect()}
+    # boundaries inclusive (pid 5 at exactly e); points in a LATER bucket
+    # of a spanning interval still match (pid 2); out-of-range (pid 3)
+    # and same-user-required (u2's pid 4) both excluded
+    assert got == {(1, 10), (2, 10), (5, 10)}
+    rows = interval_join(pts, ivs, "epoch", "s", "e",
+                         keys=["user_id"], bucket=3600).collect()
+    assert len(rows) == 3  # no duplicate matches from bucket fan-out
