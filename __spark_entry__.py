@@ -422,10 +422,7 @@ def q_fingerprint_pairs(spark, sf):  # winnowing containment pairs, value-checke
     larger doc, which whole-document Jaccard dilutes away). Containment is
     synthesized deterministically: every doc gets the first 60 chars of
     its decade-anchor doc appended, identically in the DuckDB twin."""
-    from ner_ocr_spark.operators.dedup import fingerprint_pairs
-
-    def md5_gram_hash(col):
-        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    from ner_ocr_spark.operators.dedup import fingerprint_pairs, md5_hash60
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     anchors = docs.select(
@@ -439,7 +436,7 @@ def q_fingerprint_pairs(spark, sf):  # winnowing containment pairs, value-checke
     # task (measured 351 s -> the map parallelizes across cores; at corpus
     # scale the source already has many splits and this is a no-op cost)
     inj = inj.repartition(32, "doc_id")
-    return fingerprint_pairs(inj, min_shared=2, base_hash=md5_gram_hash)
+    return fingerprint_pairs(inj, min_shared=2, base_hash=md5_hash60)
 
 
 def q_source_mix(spark, sf):  # per-source corpus mixing report
@@ -582,12 +579,10 @@ def q_fingerprint(spark, sf):  # winnowing fingerprint, value-checked
     """Winnowing (k=8, window=16) with the portable md5-based k-gram hash
     so DuckDB can replicate the exact selected-hash set; production default
     is xxhash64 (same plan, JVM-only hash)."""
+    from ner_ocr_spark.operators.dedup import md5_hash60
     from ner_ocr_spark.operators.textstats import fingerprint
 
-    def md5_gram_hash(col):
-        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-    fp = fingerprint(_t(spark, sf, "documents"), base_hash=md5_gram_hash)
+    fp = fingerprint(_t(spark, sf, "documents"), base_hash=md5_hash60)
     return fp.select(
         "doc_id",
         F.col("fingerprint_digest").alias("fp_digest"),

@@ -62,8 +62,22 @@ def parse_rates(spec: str | None) -> dict[str, float]:
         return {}
     out = {}
     for part in spec.split(","):
-        k, v = part.split("=")
-        out[k.strip()] = float(v)
+        part = part.strip()
+        if not part:  # tolerate a trailing comma
+            continue
+        if "=" not in part:
+            raise SystemExit(
+                f"--rates: expected strata=rate pairs like en=0.5,de=0.2, "
+                f"got {part!r}"
+            )
+        k, v = part.split("=", 1)
+        try:
+            rate = float(v)
+        except ValueError:
+            raise SystemExit(f"--rates: {v!r} is not a number in {part!r}") from None
+        if not 0.0 <= rate <= 1.0:
+            raise SystemExit(f"--rates: rate must be in [0, 1], got {part!r}")
+        out[k.strip()] = rate
     return out
 
 
@@ -107,11 +121,18 @@ def main(argv: list[str] | None = None) -> int:
         # join the surviving text back so each shard file is directly
         # trainable (placement + payload); the placement side is the
         # post-curation survivor set
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         out = placed.join(docs.select("doc_id", "text"), "doc_id")
+        # observe() piggybacks the count on the write job itself — a
+        # re-read (or a separate count()) would re-scan everything just
+        # written / recompute the pipeline for one log line
+        obs = Observation("curate")
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         write_training_shards(out, args.output)
-        n = spark.read.parquet(args.output).count()
         print(json.dumps({"mode": "curate", "output": args.output,
-                          "n_docs": n, "shards": args.shards,
+                          "n_docs": obs.get["n"], "shards": args.shards,
                           "budget": args.budget}))
         spark.stop()
         return 0

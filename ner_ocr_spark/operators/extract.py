@@ -390,16 +390,43 @@ def make_refine_stage(
                         continue
                     on_page = pg == page
                     lp = li[on_page] % 100000
-                    # alignment guard (mirrors the in-stage second pass,
-                    # make_ocr_stage): if the fine-deskew segmentation found
-                    # a DIFFERENT number of lines than the first pass (max
-                    # first-pass index + 1), per-line pairing is undefined —
-                    # keep the first pass rather than attach the wrong line
-                    if len(lines) != int(lp.max()) + 1:
-                        continue
                     in_range = (lp < len(lines)) & ok_all[pos][on_page]
+                    # Pairing rows to refined lines. Fast path: when the
+                    # fine-deskew segmentation agrees with the first pass
+                    # (line count == max first-pass index + 1), indices
+                    # pair exactly. Otherwise pair by LINE GEOMETRY —
+                    # counts can disagree legitimately (a batch holding
+                    # only part of a page's rows, a low-score SUBSET from
+                    # the workbench, or a deskew artifact adding a
+                    # spurious line), and index pairing would then attach
+                    # the wrong line. Geometry works per row: both passes
+                    # run at the same resize scale, so the refined line
+                    # with dominant vertical overlap IS the row's line.
+                    if len(lines) == int(lp.max()) + 1:
+                        hit = lp[in_range]
+                    else:
+                        boxes = pdf["box"].iloc[pos[on_page]].to_numpy()
+                        ly = np.array(
+                            [(l.box[1], l.box[3]) if l.box is not None
+                             else (np.nan, np.nan) for l in lines]
+                        )
+                        hit_list, keep = [], []
+                        for row_i, box in enumerate(boxes):
+                            if not in_range[row_i] or box is None:
+                                continue
+                            y1, y2 = float(box[1]), float(box[3])
+                            ov = np.minimum(ly[:, 1], y2) - np.maximum(ly[:, 0], y1)
+                            j = int(np.nanargmax(ov)) if len(ov) else -1
+                            # dominant overlap: >= half the row's height
+                            if j >= 0 and ov[j] >= 0.5 * max(y2 - y1, 1e-9):
+                                hit_list.append(j)
+                                keep.append(row_i)
+                        if not keep:
+                            continue
+                        in_range = np.zeros_like(in_range)
+                        in_range[keep] = True
+                        hit = np.array(hit_list)
                     sel = pdf.index[pos[on_page][in_range]]
-                    hit = lp[in_range]
                     pdf.loc[sel, "transformer_text"] = [lines[i].text for i in hit]
                     pdf.loc[sel, "transformer_score"] = [
                         float(lines[i].score) for i in hit

@@ -30,24 +30,38 @@ def interval_join(
     keys: list[str] | None = None,
     bucket: int = 3600,
     how: str = "inner",
+    max_fanout: int = 10_000,
 ) -> DataFrame:
     """Join each point row to every interval row (matching `keys`, when
     given) whose [start, end] (inclusive) contains the point's timestamp.
     Columns of both inputs are preserved; name them apart upstream.
     how='inner' only — the bucket trick gives matched pairs; outer
-    semantics need an anti-join against the matched set."""
+    semantics need an anti-join against the matched set.
+
+    `max_fanout` fails FAST per row instead of letting one pathological
+    interval (an open-ended sentinel end date, end < start corruption)
+    materialize a multi-million-element bucket array and OOM the stage;
+    raise it deliberately for genuinely long intervals, or pre-split them."""
     if how != "inner":
         raise ValueError("interval_join supports how='inner' only")
     keys = keys or []
-    b_iv = intervals.withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / bucket),
-                F.floor(F.col(end_col) / bucket),
+    lo = F.floor(F.col(start_col) / bucket)
+    hi_raw = F.floor(F.col(end_col) / bucket)
+    hi = F.when(
+        (F.col(end_col) >= F.col(start_col))
+        & (hi_raw - lo < F.lit(int(max_fanout))),
+        hi_raw,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"interval_join: interval exceeds max_fanout={max_fanout} "
+                      f"buckets (bucket={bucket}) or end < start: start="),
+                F.col(start_col).cast("string"),
+                F.lit(" end="), F.col(end_col).cast("string"),
             )
-        ),
+        ).cast("long")
     )
+    b_iv = intervals.withColumn("_b", F.explode(F.sequence(lo, hi)))
     b_pts = points.withColumn("_b", F.floor(F.col(point_ts) / bucket))
     joined = b_pts.join(b_iv, [*keys, "_b"])
     return joined.filter(

@@ -209,7 +209,12 @@ def stream_dedup(
     keep_key=True (the driver's value-check compares the key set)."""
     from ner_ocr_spark.operators.dedup import normalize_for_dedup
 
-    bh = base_hash or (lambda c, s: F.xxhash64(c, F.lit(s)))
+    # default keys match dedup.exact_dedup EXACTLY (h1 = xxhash64(norm)
+    # unseeded, h2 seeded with 1) so stream state can be reconciled
+    # against a batch backfill's keys — xxhash64(c) != xxhash64(c, lit(0))
+    bh = base_hash or (
+        lambda c, s: F.xxhash64(c) if s == 0 else F.xxhash64(c, F.lit(s))
+    )
     norm = normalize_for_dedup(F.col(text_col))
     keyed = docs.withColumn("h1", bh(norm, 0)).withColumn("h2", bh(norm, 1))
     if ts_col is not None:

@@ -508,3 +508,18 @@ def test_interval_join_semantics(spark):
     rows = interval_join(pts, ivs, "epoch", "s", "e",
                          keys=["user_id"], bucket=3600).collect()
     assert len(rows) == 3  # no duplicate matches from bucket fan-out
+
+
+def test_interval_join_rejects_pathological_intervals(spark):
+    from ner_ocr_spark.operators.ranges import interval_join
+
+    pts = spark.createDataFrame([(1, 100)], "pid long, epoch long")
+    bad = spark.createDataFrame(
+        [(10, 0, 253402300799)],  # year-9999 sentinel end
+        "iid long, s long, e long",
+    )
+    with pytest.raises(Exception, match="max_fanout"):
+        interval_join(pts, bad, "epoch", "s", "e", bucket=3600).collect()
+    inverted = spark.createDataFrame([(11, 500, 100)], "iid long, s long, e long")
+    with pytest.raises(Exception, match="end < start"):
+        interval_join(pts, inverted, "epoch", "s", "e", bucket=3600).collect()

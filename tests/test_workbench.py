@@ -168,3 +168,39 @@ def test_enhancement_uses_blobs_payloads(spark):
     for r in rows:
         assert r["transformer_text"] is not None
         assert normalize_text(r["transformer_text"]) == truth[r["line_idx"]]
+
+
+def test_refine_stage_pairs_rows_straddling_batches(spark):
+    """A page's rows split across two Arrow batches must BOTH refine: the
+    batch holding only line 0 cannot use index pairing (it can't see the
+    page's full line count), so geometry pairing takes over."""
+    import pandas as pd
+
+    from ner_ocr_spark import corpus
+    from ner_ocr_spark.kernels import ocr
+    from ner_ocr_spark.kernels.normalize import normalize_text
+    from ner_ocr_spark.operators.extract import make_refine_stage
+
+    ref = "media/error-guard/0"  # straight 2-line page
+    truth = [normalize_text(t) for t in corpus.media_truth_text(ref)]
+    first_pass = ocr.ocr_page(corpus.render_media_blob(ref), 1500)
+    assert len(first_pass) == 2
+
+    def row(line_idx):
+        lr = first_pass[line_idx]
+        return {
+            "doc_id": "d", "span_idx": 0, "line_idx": line_idx,
+            "kind": "media", "text": lr.text, "media_ref": ref,
+            "box": [float(v) for v in lr.box], "score": float(lr.score),
+            "transformer_text": None, "transformer_score": None,
+            "error": None,
+        }
+
+    b1 = pd.DataFrame([row(0)])
+    b2 = pd.DataFrame([row(1)])
+    stage = make_refine_stage()
+    out = pd.concat(list(stage(iter([b1, b2])))).sort_values("line_idx")
+    got = [r for _, r in out.iterrows()]
+    for i, r in enumerate(got):
+        assert r["transformer_text"] is not None, f"line {i} not refined"
+        assert normalize_text(r["transformer_text"]) == truth[i]
