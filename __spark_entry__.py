@@ -1016,6 +1016,27 @@ def q_rollup(spark, sf):  # rollup aggregation
     )
 
 
+def q_cube(spark, sf):  # cube aggregation + grouping() disambiguation
+    """CUBE over (returnflag, linestatus) with explicit grouping() flags —
+    unlike the rollup query's 'ALL' coalesce, grouping() distinguishes a
+    real NULL group value from a cube subtotal."""
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("-")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("-")).alias("l_linestatus"),
+            "g_rf", "g_ls", "sum_qty", "n",
+        )
+    )
+
+
 def q_asof_join(spark, sf):  # as-of: latest prior 'view' per 'click', per user
     ev = _t(spark, sf, "events").select(
         "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("epoch")
@@ -1282,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "pivot": q_pivot,
         "rollup": q_rollup,
+        "cube": q_cube,
         "asof_join": q_asof_join,
         "set_ops": q_set_ops,
         "refine_coalesce": q_refine_coalesce,
@@ -2041,6 +2063,14 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l_linestatus, 'ALL') AS l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube": """
+            SELECT coalesce(l_returnflag, '-') AS l_returnflag,
+                   coalesce(l_linestatus, '-') AS l_linestatus,
+                   CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                   CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "asof_join": """
             SELECT user_id, event_id, coalesce(prior_view_epoch, -1) AS prior_view_epoch FROM (
