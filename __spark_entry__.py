@@ -1016,6 +1016,24 @@ def q_rollup(spark, sf):  # rollup aggregation
     )
 
 
+def q_display_format(spark, sf):  # F12 display format/round (closes the last §2 row)
+    """Reference UI's f"{score:.3f}" display tables (SURVEY F12,
+    /root/reference/src/ui/visualisation.py:131-133) as expressions. The
+    tie-prone step is made engine-independent by rounding EXPLICITLY
+    (floor(x*1000+0.5)) before formatting — Java's format_string rounds
+    half-up, C's printf half-even, and a raw double at an exact .0005
+    boundary would format differently."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 3000)
+    score = F.col("l_quantity") / 51.0 + F.col("l_discount") / 7.0
+    r3 = F.floor(score * 1000 + F.lit(0.5)) / 1000.0
+    r1 = F.floor(score * 1000 + F.lit(0.5)) / 10.0
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.format_string("%.3f", r3).alias("score_disp"),
+        F.concat(F.format_string("%.1f", r1), F.lit("%")).alias("score_pct"),
+    )
+
+
 def q_cube(spark, sf):  # cube aggregation + grouping() disambiguation
     """CUBE over (returnflag, linestatus) with explicit grouping() flags —
     unlike the rollup query's 'ALL' coalesce, grouping() distinguishes a
@@ -1304,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "rollup": q_rollup,
         "cube": q_cube,
+        "display_format": q_display_format,
         "asof_join": q_asof_join,
         "set_ops": q_set_ops,
         "refine_coalesce": q_refine_coalesce,
@@ -2063,6 +2082,14 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l_linestatus, 'ALL') AS l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "display_format": """
+            SELECT l_orderkey, l_linenumber,
+                   printf('%.3f', floor((l_quantity/51.0 + l_discount/7.0)
+                          * 1000 + 0.5) / 1000.0) AS score_disp,
+                   printf('%.1f', floor((l_quantity/51.0 + l_discount/7.0)
+                          * 1000 + 0.5) / 10.0) || '%' AS score_pct
+            FROM lineitem WHERE l_orderkey < 3000
         """,
         "cube": """
             SELECT coalesce(l_returnflag, '-') AS l_returnflag,
