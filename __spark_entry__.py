@@ -886,44 +886,55 @@ def q_interval_join(spark, sf):  # bucketized range join, value-checked
 def q_funnel(spark, sf):  # ordered conversion funnel (view -> click -> purchase)
     """Per-user ordered funnel with a 7-day window per step: first view,
     first click AFTER that view (within 7 d), first purchase AFTER that
-    click (within 7 d); stage = how deep the user got. Conditional-min
-    aggregates + per-step joins on user_id — the step tables are per-user
-    aggregates (tiny at any corpus size), so the joins broadcast."""
+    click (within 7 d); stage = how deep the user got.
+
+    Plan: ONE shuffle. A single groupBy(user_id) computes min(view epoch)
+    plus the per-user click/purchase epoch arrays map-side-combined; the
+    staged min-after-min is then pure array expressions (filter +
+    array_min) on the aggregate output. At 10^12 docs the per-user step
+    tables are billions of rows — NOT broadcastable — so the round-2 form
+    (three conditional-min aggregates re-joined per step) shuffled the
+    events table once per step; this form touches events once. The arrays
+    hold only each user's click/purchase epochs (bounded by per-user
+    activity, not corpus size)."""
     ev = _t(spark, sf, "events").select(
         "user_id", "event_type", F.unix_timestamp("ts").alias("epoch")
     )
     win = 7 * 86400
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("epoch").alias("t1")
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("epoch"))).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("epoch"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("epoch"))
+        ).alias("purchases"),
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter((F.col("epoch") >= F.col("t1"))
-                & (F.col("epoch") <= F.col("t1") + win))
-        .groupBy("user_id").agg(F.min("epoch").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter((F.col("epoch") >= F.col("t2"))
-                & (F.col("epoch") <= F.col("t2") + win))
-        .groupBy("user_id").agg(F.min("epoch").alias("t3"))
-    )
-    users = ev.select("user_id").distinct()
-    return (
-        users.join(v, "user_id", "left")
-        .join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id",
-            F.coalesce("t1", F.lit(-1)).alias("t_view"),
-            F.coalesce("t2", F.lit(-1)).alias("t_click"),
-            F.coalesce("t3", F.lit(-1)).alias("t_purchase"),
-            (F.col("t1").isNotNull().cast("int")
-             + F.col("t2").isNotNull().cast("int")
-             + F.col("t3").isNotNull().cast("int")).alias("stage"),
+    # NULL t1 propagates through the lambda comparison -> filter drops all
+    # elements -> t2 NULL (matches the join form's "no view, no click step").
+    t2 = F.array_min(
+        F.filter(
+            "clicks",
+            lambda c: (c >= F.col("t1")) & (c <= F.col("t1") + F.lit(win)),
         )
+    )
+    staged = agg.withColumn("t2", t2).withColumn(
+        "t3",
+        F.array_min(
+            F.filter(
+                "purchases",
+                lambda p: (p >= F.col("t2")) & (p <= F.col("t2") + F.lit(win)),
+            )
+        ),
+    )
+    return staged.select(
+        "user_id",
+        F.coalesce("t1", F.lit(-1)).alias("t_view"),
+        F.coalesce("t2", F.lit(-1)).alias("t_click"),
+        F.coalesce("t3", F.lit(-1)).alias("t_purchase"),
+        (F.col("t1").isNotNull().cast("int")
+         + F.col("t2").isNotNull().cast("int")
+         + F.col("t3").isNotNull().cast("int")).alias("stage"),
     )
 
 
