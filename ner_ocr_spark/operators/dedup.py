@@ -404,9 +404,13 @@ def connected_components(
     component minimum; the loop stops when a round leaves the edge set
     unchanged (count + order-independent hash — one scalar action per
     round, never a data collect), with `max_iter` as a runaway guard.
-    localCheckpoint truncates per-round lineage (on a real cluster prefer
-    reliable checkpoint() for executor fault tolerance at 100 TB — same
-    plan otherwise).
+    The per-round checkpoint is LAZY (`localCheckpoint(eager=False)`): the
+    convergence-signature aggregate is the action that materializes it, so
+    each round runs exactly ONE job instead of the round-3 two
+    (eager-checkpoint job + separate signature job) — halves the
+    job-latency floor on small inputs. localCheckpoint truncates per-round
+    lineage (on a real cluster prefer reliable checkpoint() for executor
+    fault tolerance at 100 TB — same plan otherwise).
     """
     nodes = (
         pairs.select(F.col(src).alias("node"))
@@ -420,7 +424,7 @@ def connected_components(
         )
         .filter(F.col("s") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _signature(e: DataFrame) -> tuple:
@@ -462,7 +466,7 @@ def connected_components(
 
     sig = _signature(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_sig = _signature(edges)
         if new_sig == sig:
             break
