@@ -298,7 +298,12 @@ def make_refine_stage(
     When an input batch carries an `image_png` column (the blobs= media
     path, where payloads ride the rows instead of resolving by ref), the
     group's first non-null payload IS the blob — the resolver is only the
-    fallback. Output: OCR_SCHEMA rows. Failures — and rows already
+    fallback. When it carries an `n_lines` column (the page's TRUE
+    first-pass line count — workbench attaches it via a window), the
+    index-pairing fast path is judged against that instead of the
+    batch-local max line index, which an Arrow batch straddle can fool
+    (dense prefix + coincidental count match → wrong lines). Output:
+    OCR_SCHEMA rows (extras dropped). Failures — and rows already
     carrying an error — keep the first-pass row (error absorption)."""
     from ner_ocr_spark import corpus
     from ner_ocr_spark.kernels import ocr
@@ -373,6 +378,9 @@ def make_refine_stage(
             # must stay NULL through both transformer columns)
             ok_all = pdf["error"].isna().to_numpy()
             has_payload = "image_png" in pdf.columns
+            nl_all = (
+                pdf["n_lines"].to_numpy() if "n_lines" in pdf.columns else None
+            )
             # one decode per page, vectorized assignment per media_ref group
             # (no per-row python loop, no .at writes — round-2 verdict #5)
             for ref, pos in pdf.groupby("media_ref", sort=False).indices.items():
@@ -392,17 +400,34 @@ def make_refine_stage(
                     lp = li[on_page] % 100000
                     in_range = (lp < len(lines)) & ok_all[pos][on_page]
                     # Pairing rows to refined lines. Fast path: when the
-                    # fine-deskew segmentation agrees with the first pass
-                    # (line count == max first-pass index + 1), indices
-                    # pair exactly. Otherwise pair by LINE GEOMETRY —
-                    # counts can disagree legitimately (a batch holding
-                    # only part of a page's rows, a low-score SUBSET from
-                    # the workbench, or a deskew artifact adding a
-                    # spurious line), and index pairing would then attach
-                    # the wrong line. Geometry works per row: both passes
-                    # run at the same resize scale, so the refined line
-                    # with dominant vertical overlap IS the row's line.
-                    if len(lines) == int(lp.max()) + 1:
+                    # fine-deskew segmentation agrees with the first pass,
+                    # indices pair exactly. "Agrees" is judged against the
+                    # page's TRUE first-pass line count when the caller
+                    # carries it (optional `n_lines` column — workbench
+                    # attaches it via a window; a batch-local max is
+                    # fooled by a dense-prefix batch straddle whose count
+                    # coincidentally matches a changed segmentation).
+                    # Without n_lines, fall back to the batch-local
+                    # inference tightened to a dense-COMPLETE index set
+                    # (max+1 AND row count must both equal len(lines)).
+                    # Otherwise pair by LINE GEOMETRY — counts can
+                    # disagree legitimately (a partial batch, a low-score
+                    # SUBSET from the workbench, or a deskew artifact
+                    # adding a spurious line), and index pairing would
+                    # then attach the wrong line. Geometry works per row:
+                    # both passes run at the same resize scale, so the
+                    # refined line with dominant vertical overlap IS the
+                    # row's line.
+                    if nl_all is not None:
+                        nlv = nl_all[pos[on_page]]
+                        agree = len(nlv) > 0 and not pd.isna(nlv[0]) \
+                            and int(nlv[0]) == len(lines)
+                    else:
+                        agree = (
+                            len(lines) == int(lp.max()) + 1
+                            and len(np.unique(lp)) == len(lines)
+                        )
+                    if agree:
                         hit = lp[in_range]
                     else:
                         boxes = pdf["box"].iloc[pos[on_page]].to_numpy()

@@ -143,7 +143,21 @@ class Workbench:
         hit = media_rows.join(F.broadcast(hit_refs), "media_ref", "left_semi")
         rest = media_rows.join(F.broadcast(hit_refs), "media_ref", "left_anti")
         opts = self._extract_opts
-        refine_in = hit.select(*OCR_SCHEMA.fieldNames())
+        # carry the page's TRUE first-pass line count into the stage: the
+        # in-batch index-pairing fast path must not be fooled by an Arrow
+        # batch holding a dense prefix of a page whose segmentation the
+        # fine pass changed (coincidental count match). The window's
+        # (media_ref, page) exchange also co-locates page rows, so batches
+        # rarely straddle a page at all.
+        from pyspark.sql import Window
+
+        page_w = Window.partitionBy(
+            "media_ref", F.floor(F.col("line_idx") / 100000)
+        )
+        refine_in = hit.select(*OCR_SCHEMA.fieldNames()).withColumn(
+            "n_lines",
+            (F.max(F.col("line_idx") % 100000).over(page_w) + 1).cast("int"),
+        )
         if opts.get("blobs") is not None:
             # blobs= media path: payloads ride the rows (there may be no
             # resolver at all — and the default resolver FABRICATES a

@@ -170,6 +170,49 @@ def test_enhancement_uses_blobs_payloads(spark):
         assert normalize_text(r["transformer_text"]) == truth[r["line_idx"]]
 
 
+def test_refine_stage_n_lines_beats_coincidental_count_match(spark):
+    """Batch-straddle coincidence (round-3 advice): a batch holding a dense
+    PREFIX of a page's rows (lp 0..k) whose refined segmentation happens to
+    find k+1 lines passes the batch-local count check, but the page's TRUE
+    first-pass count can differ — index pairing would then attach the wrong
+    lines. With the caller-supplied `n_lines` (true count) the stage must
+    fall through to geometry pairing. Proof: the rows' boxes are SWAPPED
+    relative to their line_idx, so geometry and index pairing give
+    different answers."""
+    import pandas as pd
+
+    from ner_ocr_spark import corpus
+    from ner_ocr_spark.kernels import ocr
+    from ner_ocr_spark.kernels.normalize import normalize_text
+    from ner_ocr_spark.operators.extract import make_refine_stage
+
+    ref = "media/error-guard/0"  # straight 2-line page: refine finds 2 lines
+    truth = [normalize_text(t) for t in corpus.media_truth_text(ref)]
+    first_pass = ocr.ocr_page(corpus.render_media_blob(ref), 1500)
+    assert len(first_pass) == 2
+
+    def row(line_idx, box_from):
+        lr = first_pass[box_from]
+        return {
+            "doc_id": "d", "span_idx": 0, "line_idx": line_idx,
+            "kind": "media", "text": lr.text, "media_ref": ref,
+            "box": [float(v) for v in lr.box], "score": float(lr.score),
+            "transformer_text": None, "transformer_score": None,
+            "error": None, "n_lines": 3,  # page CLAIMS 3 first-pass lines
+        }
+
+    # dense prefix lp=0,1 (count 2 == refined count 2 → the batch-local
+    # check would take the index fast path) with boxes swapped
+    batch = pd.DataFrame([row(0, box_from=1), row(1, box_from=0)])
+    stage = make_refine_stage()
+    out = pd.concat(list(stage(iter([batch])))).sort_values("line_idx")
+    got = list(out["transformer_text"])
+    assert got[0] is not None and got[1] is not None
+    # geometry pairing: each row refines to the line its BOX overlaps
+    assert normalize_text(got[0]) == truth[1]
+    assert normalize_text(got[1]) == truth[0]
+
+
 def test_refine_stage_pairs_rows_straddling_batches(spark):
     """A page's rows split across two Arrow batches must BOTH refine: the
     batch holding only line 0 cannot use index pairing (it can't see the
