@@ -20,11 +20,21 @@ scanned-document PDFs (the corpus this OCR engine targets):
     `Rasterizer` contract so the PDF branch is executable in-container
     WITHOUT pypdfium2 (operators/pdf.default_rasterizer falls back here).
 
+Round 4 widens the subset to the default output of PDF >= 1.5 writers
+(round-3 verdict #2): object streams (/ObjStm — compressed containers for
+the catalog/page-tree dictionaries), cross-reference STREAMS standing in
+for the classic trailer (the /Root and /Encrypt checks read the /XRef
+dict; object discovery stays brute-scan), and predictor-compressed Flate
+images (TIFF Predictor 2 and PNG Predictors 10-15, sharing png._unfilter).
+`encode_image_pdf(objstm=True, predictor=...)` writes those same shapes,
+so the fixtures are self-verifying round-trips, as the progressive-JPEG
+encoder's are.
+
 Out-of-subset constructs fail with a distinct, actionable error that the
-pipeline absorbs per row (M6): encrypted files, object streams (/ObjStm),
-PNG-predictor Flate, non-8-bit or exotic colorspaces, and pages whose
-content is vector text rather than a scanned image (those genuinely need a
-rasterizer — plug pypdfium2 or any callable via `rasterizer=`).
+pipeline absorbs per row (M6): encrypted files, non-8-bit or exotic
+colorspaces, and pages whose content is vector text rather than a scanned
+image (those genuinely need a rasterizer — plug pypdfium2 or any callable
+via `rasterizer=`).
 """
 
 from __future__ import annotations
@@ -205,13 +215,23 @@ def _parse_objects(blob: bytes) -> dict[int, tuple[object, bytes | None]]:
     """All indirect objects as {num: (value, stream_bytes|None)}.
 
     Brute-force scan instead of xref-table walking: immune to broken or
-    appended xrefs, and the subset has no object streams (a /ObjStm is
-    reported as unsupported). Later definitions of the same object number
-    win (incremental-update semantics)."""
+    appended xrefs. Later definitions of the same object number win
+    (incremental-update semantics) — with "later" judged by byte position,
+    and matches whose `N G obj` happens to fall INSIDE an established
+    stream payload skipped (round-3 advice: compressed bytes can fake the
+    token and would otherwise shadow a real object). `/Type /ObjStm`
+    containers are expanded after the direct scan: their member objects
+    join the map at the container's byte position."""
     if blob[:5] != b"%PDF-":
         raise PdfError("not a PDF (missing %PDF- header)")
+    # pass 1: direct scan, skipping matches inside known stream extents.
+    # raw: num -> (value, stream_start, match_pos)
     raw: dict[int, tuple[object, int | None]] = {}
+    pos_of: dict[int, int] = {}
+    covered_until = 0
     for m in _OBJ_RE.finditer(blob):
+        if m.start() < covered_until:
+            continue  # inside a previous object's stream payload
         num = int(m.group(1))
         sc = _Scanner(blob, m.end())
         try:
@@ -227,7 +247,20 @@ def _parse_objects(blob: bytes) -> dict[int, tuple[object, bytes | None]]:
             elif blob[p : p + 1] == b"\n":
                 p += 1
             stream_start = p
-        raw[num] = (value, stream_start)
+            # establish the stream's extent so in-payload fake `obj`
+            # tokens are skipped. /Length may be an (unresolved) Ref —
+            # fall back to the next endstream, which can only UNDER-cover
+            # (equivalent to the pre-fix behavior, never worse).
+            length = value.get("Length") if isinstance(value, dict) else None
+            if isinstance(length, int):
+                covered_until = max(covered_until, p + length)
+            else:
+                end = blob.find(b"endstream", p)
+                if end >= 0:
+                    covered_until = max(covered_until, end)
+        if num not in pos_of or m.start() >= pos_of[num]:
+            raw[num] = (value, stream_start)
+            pos_of[num] = m.start()
 
     def resolve(v):
         if isinstance(v, Ref):
@@ -252,14 +285,82 @@ def _parse_objects(blob: bytes) -> dict[int, tuple[object, bytes | None]]:
             else:
                 stream = blob[stream_start : stream_start + length]
         out[num] = (value, stream)
+
+    # pass 2: expand object streams (PDF 1.5+). Members carry the
+    # container's byte position for later-definition-wins.
+    for num, (value, stream) in list(out.items()):
+        if not (isinstance(value, dict) and value.get("Type") == "ObjStm"):
+            continue
+        if stream is None:
+            raise PdfError(f"object {num}: /ObjStm without a stream")
+        try:
+            members = _expand_objstm(out, value, stream)
+        except PdfError:
+            raise
+        except Exception as e:  # noqa: BLE001 — malformed container
+            raise PdfError(f"object {num}: bad /ObjStm ({e})") from e
+        base = pos_of.get(num, 0)
+        for mnum, mval in members.items():
+            if mnum not in pos_of or base >= pos_of[mnum]:
+                out[mnum] = (mval, None)
+                pos_of[mnum] = base
     if not out:
         raise PdfError("no indirect objects found")
     return out
 
 
+def _decode_stream(objs_or_none, sdict: dict, stream: bytes) -> bytes:
+    """Apply /Filter (+ /DecodeParms predictor) to a non-image stream.
+    Supports the subset's filters: none or FlateDecode (with optional
+    TIFF/PNG predictor)."""
+    filters = _filters(sdict)
+    if filters == []:
+        return bytes(stream)
+    if filters != ["FlateDecode"]:
+        raise PdfError(f"stream filter chain {filters} unsupported")
+    data = zlib.decompress(stream)
+    parms = sdict.get("DecodeParms") or {}
+    if isinstance(parms, list):
+        parms = parms[0] if parms else {}
+    if objs_or_none is not None:
+        parms = _deref(objs_or_none, parms) or {}
+    pred = parms.get("Predictor", 1)
+    if pred != 1:
+        data = _predictor_undo(
+            data, pred, parms.get("Columns", 1),
+            parms.get("Colors", 1), parms.get("BitsPerComponent", 8),
+        )
+    return data
+
+
+def _expand_objstm(objs, sdict: dict, stream: bytes) -> dict[int, object]:
+    """Member objects of a /Type /ObjStm container: the decoded stream
+    opens with /N (num, offset) integer pairs; member i's body starts at
+    /First + offset_i. Members never carry streams (spec rule)."""
+    n = _deref(objs, sdict.get("N"))
+    first = _deref(objs, sdict.get("First"))
+    if not isinstance(n, int) or not isinstance(first, int):
+        raise PdfError("/ObjStm missing /N or /First")
+    data = _decode_stream(objs, sdict, stream)
+    head = _Scanner(data[:first])
+    pairs: list[tuple[int, int]] = []
+    for _ in range(n):
+        num = head.parse()
+        off = head.parse()
+        if not isinstance(num, int) or not isinstance(off, int):
+            raise PdfError("/ObjStm header pair is not two integers")
+        pairs.append((num, off))
+    members: dict[int, object] = {}
+    for num, off in pairs:
+        members[num] = _Scanner(data, first + off).parse()
+    return members
+
+
 def _trailer_root(blob: bytes, objs) -> int:
-    """Object number of the /Root catalog: trailer dict when present, else
-    the first /Type /Catalog object (brute-scan fallback)."""
+    """Object number of the /Root catalog: classic trailer dict when
+    present, else the cross-reference STREAM's dict (PDF 1.5+ files have
+    no `trailer` keyword — the /XRef object carries /Root and /Encrypt),
+    else the first /Type /Catalog object (brute-scan fallback)."""
     m = None
     for m in re.finditer(rb"trailer", blob):
         pass  # keep the LAST trailer (incremental updates append)
@@ -275,6 +376,13 @@ def _trailer_root(blob: bytes, objs) -> int:
         except PdfError as e:
             if "encrypted" in str(e):
                 raise
+    for num, (value, _) in sorted(objs.items(), reverse=True):
+        if isinstance(value, dict) and value.get("Type") == "XRef":
+            if "Encrypt" in value:
+                raise PdfError("encrypted PDF unsupported")
+            root = value.get("Root")
+            if isinstance(root, Ref):
+                return root.num
     for num, (value, _) in sorted(objs.items()):
         if isinstance(value, dict) and value.get("Type") == "Catalog":
             return num
@@ -299,8 +407,6 @@ def _walk_pages(objs, node, acc: list[dict]) -> None:
             _walk_pages(objs, kid, acc)
     elif t == "Page":
         acc.append(node)
-    elif t == "ObjStm":
-        raise PdfError("object streams (/ObjStm) unsupported")
     else:
         raise PdfError(f"unexpected page-tree node /Type /{t}")
 
@@ -312,6 +418,45 @@ def _filters(image_dict) -> list[str]:
     if isinstance(f, list):
         return [str(x) for x in f]
     return [str(f)]
+
+
+def _predictor_undo(
+    data: bytes, predictor: int, columns: int, colors: int, bpc: int
+) -> bytes:
+    """Reverse a Flate /DecodeParms predictor (ISO 32000 §7.4.4.4):
+    Predictor 2 = TIFF horizontal differencing; 10-15 = the PNG row
+    filters (the tag byte leading each row names the actual filter, so
+    one decoder covers all six values) — shared with png._unfilter."""
+    if predictor == 1:
+        return data
+    if bpc != 8:
+        raise PdfError(f"predictor with {bpc}-bit samples unsupported (8 only)")
+    if colors < 1:
+        raise PdfError("predictor /Colors must be >= 1")
+    rowlen = columns * colors
+    if predictor == 2:
+        h = len(data) // rowlen
+        if h == 0:
+            raise PdfError("predictor stream shorter than one row")
+        arr = np.frombuffer(data[: h * rowlen], dtype=np.uint8).reshape(
+            h, columns, colors
+        )
+        # sample deltas accumulate along the row per component; cumsum in a
+        # wide dtype then mask — addition is congruent mod 256
+        return (
+            np.cumsum(arr, axis=1, dtype=np.int64) & 0xFF
+        ).astype(np.uint8).tobytes()
+    if 10 <= predictor <= 15:
+        stride = rowlen + 1
+        h = len(data) // stride
+        if h == 0:
+            raise PdfError("predictor stream shorter than one row")
+        raw = np.frombuffer(data[: h * stride], dtype=np.uint8).reshape(h, stride)
+        try:
+            return png._unfilter(raw, h, rowlen, max(colors * bpc // 8, 1)).tobytes()
+        except ValueError as e:
+            raise PdfError(f"bad PNG-predictor row: {e}") from e
+    raise PdfError(f"predictor {predictor} unsupported")
 
 
 def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
@@ -329,10 +474,17 @@ def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
         parms = _deref(objs, image_dict.get("DecodeParms")) or {}
         if isinstance(parms, list):
             parms = _deref(objs, parms[0]) if parms else {}
-        if _deref(objs, parms.get("Predictor", 1)) != 1:
-            raise PdfError("Flate predictor != 1 unsupported")
         data = zlib.decompress(stream) if filters else bytes(stream)
         cs = _deref(objs, image_dict.get("ColorSpace", "DeviceGray"))
+        pred = _deref(objs, parms.get("Predictor", 1))
+        if pred != 1:
+            ncomp = 3 if cs == "DeviceRGB" else 1
+            data = _predictor_undo(
+                data, pred,
+                _deref(objs, parms.get("Columns", 1)),
+                _deref(objs, parms.get("Colors", ncomp)),
+                _deref(objs, parms.get("BitsPerComponent", 8)),
+            )
         if cs == "DeviceGray":
             if len(data) < w * h:
                 raise PdfError("image stream shorter than Width*Height")
@@ -430,12 +582,65 @@ def pdfio_rasterizer(blob: bytes, zoom: float = 2.0) -> list[bytes]:
 # writer
 
 
-def encode_image_pdf(pages: list, jpeg_quality: object = None) -> bytes:
+def _predictor_apply(arr: np.ndarray, predictor: int) -> bytes:
+    """Forward-filter a 2-D uint8 grayscale array for /DecodeParms
+    Predictor `predictor` (the writer-side twin of _predictor_undo; the
+    fixtures round-trip through both). 2 = TIFF horizontal differencing;
+    10-14 = the corresponding fixed PNG filter per row; 15 = PNG
+    "optimum" — here cycling all five filter types so one fixture
+    exercises every decoder branch."""
+    h, w = arr.shape
+    if predictor == 2:
+        out = arr.astype(np.int16)
+        out[:, 1:] = arr[:, 1:].astype(np.int16) - arr[:, :-1]
+        return (out & 0xFF).astype(np.uint8).tobytes()
+    if not 10 <= predictor <= 15:
+        raise PdfError(f"predictor {predictor} unsupported (2 or 10-15)")
+    rows: list[bytes] = []
+    prev = np.zeros(w, np.int16)
+    for y in range(h):
+        row = arr[y].astype(np.int16)
+        f = (y % 5) if predictor == 15 else predictor - 10
+        left = np.concatenate(([0], row[:-1]))
+        upleft = np.concatenate(([0], prev[:-1]))
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pv = np.where((pa <= pb) & (pa <= pc), left,
+                          np.where(pb <= pc, prev, upleft))
+            filt = row - pv
+        rows.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    return b"".join(rows)
+
+
+def encode_image_pdf(
+    pages: list,
+    jpeg_quality: object = None,
+    objstm: bool = False,
+    predictor: int | None = None,
+) -> bytes:
     """Write a PDF with one image per page. Each element of `pages` is
     either a 2-D uint8 numpy array (embedded as FlateDecode /DeviceGray)
     or raw JPEG bytes (embedded as DCTDecode, zero-recompression — the
     standard scanned-PDF shape). An empty list writes a valid zero-page
-    document (the ADVICE zero-page edge case)."""
+    document (the ADVICE zero-page edge case).
+
+    Round-4 modes matching the default output of PDF >= 1.5 writers:
+    `predictor` (2 or 10-15) predictor-compresses the Flate image data
+    with matching /DecodeParms; `objstm=True` packs every non-stream
+    object (catalog, page tree, page dicts) into a /ObjStm container and
+    replaces the classic xref table + `trailer` with a cross-reference
+    STREAM (/Type /XRef, W [1 4 2]) — the shapes the reader's round-4
+    widening decodes, making these fixtures self-verifying round-trips."""
     objects: list[bytes] = []  # body of object i+1
 
     def add(body: bytes) -> int:
@@ -443,6 +648,7 @@ def encode_image_pdf(pages: list, jpeg_quality: object = None) -> bytes:
         return len(objects)
 
     page_obj_nums: list[int] = []
+    stream_obj_nums: set[int] = set()
     kids_parts: list[bytes] = []
     # object 1 reserved for Catalog, 2 for Pages: append placeholders
     add(b"")  # 1: catalog (filled later)
@@ -457,23 +663,32 @@ def encode_image_pdf(pages: list, jpeg_quality: object = None) -> bytes:
             ncomp = 1 if arr.ndim == 2 else arr.shape[2]
             cs = b"/DeviceGray" if ncomp == 1 else b"/DeviceRGB"
             filt = b"/DCTDecode"
+            parms = b""
         else:
             arr = np.asarray(item, dtype=np.uint8)
             if arr.ndim != 2:
                 raise PdfError("array page must be 2-D grayscale uint8")
             h, w = arr.shape
-            data = zlib.compress(arr.tobytes(), 6)
+            raw = (_predictor_apply(arr, predictor) if predictor
+                   else arr.tobytes())
+            data = zlib.compress(raw, 6)
             cs = b"/DeviceGray"
             filt = b"/FlateDecode"
+            parms = (
+                b"/DecodeParms << /Predictor %d /Columns %d /Colors 1 "
+                b"/BitsPerComponent 8 >> " % (predictor, w)
+            ) if predictor else b""
         img_num = add(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-            b"/ColorSpace %s /BitsPerComponent 8 /Filter %s /Length %d >>\n"
-            b"stream\n%s\nendstream" % (w, h, cs, filt, len(data), data)
+            b"/ColorSpace %s /BitsPerComponent 8 /Filter %s %s/Length %d >>\n"
+            b"stream\n%s\nendstream" % (w, h, cs, filt, parms, len(data), data)
         )
+        stream_obj_nums.add(img_num)
         content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
         content_num = add(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
         )
+        stream_obj_nums.add(content_num)
         page_num = add(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
             b"/Resources << /XObject << /Im0 %d 0 R >> >> "
@@ -487,18 +702,71 @@ def encode_image_pdf(pages: list, jpeg_quality: object = None) -> bytes:
         len(page_obj_nums),
     )
 
-    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]
-    for i, body in enumerate(objects, start=1):
-        offsets.append(len(buf))
-        buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
-    xref_pos = len(buf)
-    buf += b"xref\n0 %d\n" % (len(objects) + 1)
-    buf += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        buf += b"%010d 00000 n \n" % off
-    buf += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, xref_pos)
+    if not objstm:
+        buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = [0]
+        for i, body in enumerate(objects, start=1):
+            offsets.append(len(buf))
+            buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        xref_pos = len(buf)
+        buf += b"xref\n0 %d\n" % (len(objects) + 1)
+        buf += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            buf += b"%010d 00000 n \n" % off
+        buf += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, xref_pos)
+        )
+        return bytes(buf)
+
+    # --- objstm + xref-stream form (PDF 1.5) ---
+    member_nums = [i + 1 for i in range(len(objects))
+                   if i + 1 not in stream_obj_nums]
+    direct_nums = sorted(stream_obj_nums)
+    container_num = len(objects) + 1
+    xref_num = len(objects) + 2
+
+    member_bodies = [objects[n - 1] for n in member_nums]
+    header_parts: list[bytes] = []
+    off = 0
+    for n, body in zip(member_nums, member_bodies):
+        header_parts.append(b"%d %d" % (n, off))
+        off += len(body) + 1  # members separated by one newline
+    header = b" ".join(header_parts) + b"\n"
+    payload = header + b"\n".join(member_bodies) + b"\n"
+    zpayload = zlib.compress(payload, 6)
+    container_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%s\nendstream"
+        % (len(member_nums), len(header), len(zpayload), zpayload)
     )
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    obj_offset: dict[int, int] = {}
+    for n in direct_nums + [container_num]:
+        obj_offset[n] = len(buf)
+        body = objects[n - 1] if n <= len(objects) else container_body
+        buf += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+
+    # xref stream entries, W = [1 4 2]: type, field2, field3
+    size = xref_num + 1
+    xref_pos = len(buf)
+    obj_offset[xref_num] = xref_pos
+    member_index = {n: i for i, n in enumerate(member_nums)}
+    rows = bytearray()
+    for n in range(size):
+        if n == 0:
+            t, f2, f3 = 0, 0, 0xFFFF
+        elif n in member_index:
+            t, f2, f3 = 2, container_num, member_index[n]
+        else:
+            t, f2, f3 = 1, obj_offset[n], 0
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    zrows = zlib.compress(bytes(rows), 6)
+    buf += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (xref_num, size, len(zrows), zrows)
+    )
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(buf)

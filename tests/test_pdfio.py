@@ -244,3 +244,95 @@ def test_zero_page_pdf_clean_row_not_resolver_fallback(spark):
     spans = assembled.collect()[0]["spans"]
     assert [(s["kind"], s["text"]) for s in spans] == [
         ("text", "INTRO TEXT SPAN"), ("text", "CLOSING SPAN")]
+
+
+# -- round-4 subset widening: ObjStm, xref streams, predictors ---------------
+
+
+def _grad() -> np.ndarray:
+    return (np.arange(24 * 31, dtype=np.uint32) * 41 % 253).astype(
+        np.uint8
+    ).reshape(24, 31)
+
+
+@pytest.mark.parametrize("predictor", [2, 10, 11, 12, 13, 14, 15])
+def test_roundtrip_predictor_exact(predictor):
+    """TIFF (2) and every PNG predictor tag (10-15; 15 cycles all five row
+    filters) round-trip pixel-exact through /DecodeParms."""
+    g = _grad()
+    blob = pdfio.encode_image_pdf([g], predictor=predictor)
+    assert b"/Predictor %d" % predictor in blob
+    pages = pdfio.extract_page_images(blob)
+    assert len(pages) == 1 and np.array_equal(pages[0], g)
+
+
+def test_roundtrip_objstm_xref_stream():
+    """PDF 1.5 shape: catalog/page-tree dicts live in a /ObjStm container,
+    the classic trailer is replaced by a cross-reference STREAM. Both pages
+    (Flate + DCT) extract, in order."""
+    g = _grad()
+    jb = jpeg.encode(_page_gray(PAGE_LINES[1]), quality=90)
+    blob = pdfio.encode_image_pdf([g, jb], objstm=True)
+    assert b"/ObjStm" in blob and b"/Type /XRef" in blob
+    assert b"trailer" not in blob
+    pages = pdfio.extract_page_images(blob)
+    assert len(pages) == 2
+    assert np.array_equal(pages[0], g)
+    assert np.array_equal(pages[1], png.to_gray(jpeg.decode(jb)))
+
+
+def test_objstm_plus_predictor_end_to_end(spark):
+    """The full modern-writer shape (ObjStm + xref stream + PNG-predictor
+    Flate) flows through the Spark pipeline with span equality."""
+    blob = pdfio.encode_image_pdf(
+        [_page_gray(lines) for lines in PAGE_LINES], objstm=True, predictor=15
+    )
+    out = pipeline.run(spark, _docs(spark), blob_resolver=_resolver_for(blob))
+    spans = {r["doc_id"]: r["spans"] for r in out.collect()}["p0"]
+    want = (
+        [("text", "INTRO TEXT SPAN", None)]
+        + [("pdf", normalize_text(line), "store/scan.pdf")
+           for page in PAGE_LINES for line in page]
+        + [("text", "CLOSING SPAN", None)]
+    )
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == want
+
+
+def test_xref_stream_carries_encrypt_rejection():
+    """/Encrypt in the xref STREAM dict (no classic trailer present) must
+    still fail closed with the distinct encryption error."""
+    blob = pdfio.encode_image_pdf([_grad()], objstm=True)
+    tampered = blob.replace(b"/Type /XRef /Size",
+                            b"/Type /XRef /Encrypt 99 0 R /Size")
+    with pytest.raises(pdfio.PdfError, match="encrypted"):
+        pdfio.extract_page_images(tampered)
+
+
+def test_direct_update_overrides_objstm_member():
+    """Incremental-update semantics across containers: a direct object
+    appended LATER in the file wins over an earlier /ObjStm member with the
+    same number."""
+    blob = pdfio.encode_image_pdf([_grad()], objstm=True)
+    eof = blob.rindex(b"startxref")
+    update = b"2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"
+    assert pdfio.extract_page_images(blob[:eof] + update + blob[eof:]) == []
+
+
+def test_fake_obj_token_inside_stream_payload_is_skipped():
+    """Round-3 advice: a byte sequence matching `N G obj` INSIDE a stream
+    payload must not shadow the real object of that number (the old
+    later-definition-wins scan would have silently dropped the page
+    tree)."""
+    g = _grad()
+    blob = pdfio.encode_image_pdf([g])
+    # append a raw (unfiltered) stream whose PAYLOAD contains a parseable
+    # fake redefinition of object 2 (the page tree) to zero pages
+    fake = b"junk 2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nmore junk"
+    next_num = max(int(x) for x in re.findall(rb"(\d+) 0 obj", blob)) + 1
+    extra = (
+        b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (next_num, len(fake), fake)
+    )
+    eof = blob.rindex(b"%%EOF")
+    pages = pdfio.extract_page_images(blob[:eof] + extra + blob[eof:])
+    assert len(pages) == 1 and np.array_equal(pages[0], g)
