@@ -179,3 +179,143 @@ def test_stream_dedup_watermark_variant_runs(spark, tmp_path):
     got = spark.table(name).collect()
     assert len(got) == 2
     assert {r["doc_id"] for r in got} >= {3}
+
+
+def test_stream_dedup_key_set_matches_batch_across_epochs(spark, tmp_path):
+    """Round-4 evidence: two parquet drops processed as SEPARATE
+    microbatches (maxFilesPerTrigger=1 splits them inside one run; a third
+    drop then arrives via a query RESTART against the same checkpoint).
+    The union of surviving content keys must equal batch exact_dedup's key
+    set over all drops — stream state and batch semantics agree exactly."""
+    from pyspark.sql import functions as F
+
+    from ner_ocr_spark.operators.dedup import exact_dedup, normalize_for_dedup
+
+    src = str(tmp_path / "bd_in")
+    out = str(tmp_path / "bd_out")
+    ckpt = str(tmp_path / "bd_ckpt")
+    schema = "doc_id long, text string"
+    drops = [
+        [(1, "Alpha  Beta"), (2, "alpha\tbeta"), (3, "gamma")],
+        [(4, "ALPHA BETA"), (5, "delta"), (6, "Gamma")],
+        [(7, "delta"), (8, "epsilon")],
+    ]
+
+    def run(files_per_trigger=None):
+        stream = spark.readStream.schema(schema)
+        if files_per_trigger:
+            stream = stream.option("maxFilesPerTrigger", files_per_trigger)
+        q = (
+            streaming.stream_dedup(stream.parquet(src), keep_key=True)
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+
+    # drops 1+2 land before the first run; maxFilesPerTrigger=1 forces one
+    # microbatch per file (state carries WITHIN the run, no restart)
+    for d in drops[:2]:
+        spark.createDataFrame(d, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    run(files_per_trigger=1)
+    # drop 3 arrives later; a restarted query resumes from the checkpoint
+    spark.createDataFrame(drops[2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    survivors = spark.read.parquet(out)
+    stream_keys = {(r["h1"], r["h2"]) for r in
+                   survivors.select("h1", "h2").collect()}
+    everything = spark.createDataFrame(
+        [row for d in drops for row in d], schema
+    )
+    norm = normalize_for_dedup(F.col("text"))
+    batch_keys = {
+        (r["h1"], r["h2"])
+        for r in everything.select(
+            F.xxhash64(norm).alias("h1"), F.xxhash64(norm, F.lit(1)).alias("h2")
+        ).distinct().collect()
+    }
+    assert stream_keys == batch_keys
+    # exactly one survivor per key (state suppressed every later arrival)
+    assert survivors.count() == len(batch_keys)
+    assert exact_dedup(everything).count() == len(batch_keys)
+
+
+def test_stateful_sessions_ordinals_match_batch_across_epochs(spark, tmp_path):
+    """Round-4 evidence: session ORDINALS stay stable across microbatch
+    boundaries. Three drops — processed as two microbatches in run 1
+    (maxFilesPerTrigger=1) plus a restarted run 2 — must close the same
+    sessions, in the same per-user order (row_number over start_epoch), as
+    the batch window sessionizer over the union."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "so_in")
+    out = str(tmp_path / "so_out")
+    ckpt = str(tmp_path / "so_ckpt")
+    schema = "user_id string, event_id long, epoch long"
+    drops = [
+        [("u1", 1, 10), ("u1", 2, 110)],                      # open session
+        [("u1", 3, 5000), ("u2", 4, 30)],                     # closes s0, opens s1
+        [("u1", 5, 20000), ("u2", 6, 25000), ("u2", 7, 25060)],
+    ]
+
+    def run(files_per_trigger=None):
+        stream = spark.readStream.schema(schema)
+        if files_per_trigger:
+            stream = stream.option("maxFilesPerTrigger", files_per_trigger)
+        q = (
+            streaming.stateful_sessionize(stream.parquet(src), gap_s=1800)
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+
+    for d in drops[:2]:
+        spark.createDataFrame(d, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    run(files_per_trigger=1)
+    spark.createDataFrame(drops[2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    closed = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy("start_epoch")
+    got = {
+        (r["user_id"], r["session_seq"]): (r["start_epoch"], r["end_epoch"],
+                                           r["n_events"])
+        for r in closed.withColumn(
+            "session_seq", F.row_number().over(w) - 1
+        ).collect()
+    }
+
+    # batch twin over the union: same gap rule, sessions that a watermark
+    # at max(epoch) would have flushed (start+... every session whose
+    # last event + gap < global max epoch is closed in-stream too)
+    ev = spark.createDataFrame([row for d in drops for row in d], schema)
+    bw = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    gap = F.col("epoch") - F.lag("epoch").over(bw)
+    flag = F.when(gap.isNull() | (gap <= 1800), 0).otherwise(1)
+    sess = (
+        ev.withColumn("sid", F.sum(flag).over(
+            bw.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("epoch").alias("start_epoch"),
+             F.max("epoch").alias("end_epoch"),
+             F.count("*").alias("n_events"))
+    )
+    horizon = ev.agg(F.max("epoch")).collect()[0][0]
+    want = {
+        (r["user_id"], r["sid"]): (r["start_epoch"], r["end_epoch"],
+                                   r["n_events"])
+        for r in sess.collect()
+        if r["end_epoch"] + 1800 < horizon  # still-open sessions not emitted
+    }
+    assert got == want
