@@ -1260,8 +1260,11 @@ ROWS_ONLY: dict[str, str] = {
     "simhash_candidates": "xxhash64 token hashing not reproducible in DuckDB;"
     " simhash_sig + simhash_pairs_md5 value-check the identical signature"
     " math and rotation-bucketed pair generation on the md5 path",
-    "semantic_search": "difflib partial-ratio python kernel (F2) below the"
-    " JVM prefilter is not SQL-expressible; pytest pins kernel parity",
+    "semantic_search": "difflib partial-ratio python kernel (F2) is not"
+    " expressible in STOCK DuckDB SQL (driver constraint); VALUE-checked"
+    " anyway: scripts/check_oracle.py registers kernels/fuzzy.score as a"
+    " DuckDB scalar function and compares a full SQL twin (32 rows), and"
+    " tests/test_semantic_oracle.py runs the same comparison in the gate",
     "image_features": "python image decode (PNG/JPEG codecs) not"
     " SQL-expressible; pytest pins decode + feature values",
     "extraction_e2e": "the OCR kernel itself (Otsu/deskew/segment/match) is"

@@ -21,6 +21,53 @@ from ner_ocr_spark.session import get_spark  # noqa: E402
 SF_DIR = "/root/testdata/sf0.01"
 
 
+def local_oracles(con) -> dict[str, str]:
+    """LOCAL value oracles for queries whose kernel DuckDB lacks natively
+    (round-3 verdict #6). The repo's own `kernels/fuzzy.score` registers as
+    a DuckDB scalar function, so `semantic_search` — rows-only under the
+    driver (its oracle_sql must run on stock DuckDB) — is value-checked
+    HERE against a full SQL twin of the query + semi-join. The prefilter
+    (operators/search.fuzzy_prefilter_expr, mode='fast') is deliberately
+    NOT mirrored: the oracle scores every row, so a heuristic prefilter
+    drop of a true match would surface as a value mismatch."""
+    from duckdb.typing import DOUBLE, VARCHAR
+
+    from ner_ocr_spark.kernels.fuzzy import score
+
+    con.create_function(
+        "fuzzy_score", lambda t, q: float(score(t, q)),
+        [VARCHAR, VARCHAR], DOUBLE, null_handling="special",
+    )
+    return {
+        "semantic_search": """
+            WITH regions AS (
+                SELECT CAST(doc_id % 7 AS VARCHAR) AS doc_id,
+                       0 AS page,
+                       CAST(doc_id AS INT) AS region_idx,
+                       substr(text, 1, 40) AS text,
+                       CAST(doc_id % 100 AS DOUBLE) AS x1,
+                       CAST((doc_id * 3) % 100 AS DOUBLE) AS y1,
+                       CAST(doc_id % 100 + 20 AS DOUBLE) AS x2,
+                       CAST((doc_id * 3) % 100 + 10 AS DOUBLE) AS y2
+                FROM documents
+            ), matches AS (
+                SELECT doc_id, page,
+                       x1 AS mx1, y1 AS my1, x2 AS mx2, y2 AS my2
+                FROM regions
+                WHERE fuzzy_score(text, 'window merge spark') >= 0.8
+            )
+            SELECT r.*, 'semantic' AS search_type, 'bench' AS search_task
+            FROM regions r
+            WHERE EXISTS (
+                SELECT 1 FROM matches m
+                WHERE m.doc_id = r.doc_id AND m.page = r.page
+                  AND NOT (m.mx1 - 15.0 > r.x2 OR r.x1 > m.mx2 + 15.0
+                        OR m.my1 - 15.0 > r.y2 OR r.y1 > m.my2 + 15.0)
+            )
+        """,
+    }
+
+
 def canon(v):
     # type-tagged: a float and an int with equal value must NOT collide —
     # the driver's value hash distinguishes pandas float64 "3.0" from Spark
@@ -52,7 +99,9 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
     qs = entry.queries()
-    oracles = entry.oracle_sql()
+    oracles = dict(entry.oracle_sql())
+    local = local_oracles(con)
+    oracles.update(local)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -93,7 +142,8 @@ def main() -> int:
             print(f"FAIL  {name}: value mismatch; first diffs: {bad}")
             failures += 1
             continue
-        print(f"OK    {name}: {len(srows)} rows")
+        tag = " (local oracle)" if name in local else ""
+        print(f"OK    {name}: {len(srows)} rows{tag}")
     spark.stop()
     return 1 if failures else 0
 
