@@ -1,0 +1,321 @@
+"""From-scratch CCITT Group 4 (ITU-T T.6, pure 2-D MMR) codec.
+
+CCITTFaxDecode is THE classic bilevel scanned-document filter — fax-era
+PDFs and most TIFF-derived scans use it — and the reference rasterizes
+them transparently through pypdfium2 (/root/reference/src/
+pdf_processing.py:21-73). This module implements the published T.4/T.6
+coding scheme from the standard's description: per-line 2-D coding against
+the reference line via pass / vertical(±3) / horizontal modes, with the
+T.4 white/black terminating + make-up Huffman tables (and the shared
+extended make-ups to 2560) for horizontal-mode run lengths.
+
+Scope: K < 0 (pure Group 4) only — the form PDF writers actually emit for
+/CCITTFaxDecode scans; G3 1-D/mixed (K >= 0) and EncodedByteAlign raise
+the per-row-absorbed PdfError upstream.
+
+Verification: encoder/decoder round-trip on structured + random bitmaps
+(pinned in tests/test_ccitt.py) plus structural table audits
+(prefix-freeness per color, exact code counts) that catch transcription
+errors a symmetric round-trip cannot. Cross-engine validation runs
+automatically when pypdfium2 is importable (it is not in this container);
+pypdfium2 remains the auto-probed first choice for rasterization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- T.4 run-length code tables: {run: bitstring} ---------------------------
+
+WHITE_CODES = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011", 14: "110100",
+    15: "110101", 16: "101010", 17: "101011", 18: "0100111",
+    19: "0001100", 20: "0001000", 21: "0010111", 22: "0000011",
+    23: "0000100", 24: "0101000", 25: "0101011", 26: "0010011",
+    27: "0100100", 28: "0011000", 29: "00000010", 30: "00000011",
+    31: "00011010", 32: "00011011", 33: "00010010", 34: "00010011",
+    35: "00010100", 36: "00010101", 37: "00010110", 38: "00010111",
+    39: "00101000", 40: "00101001", 41: "00101010", 42: "00101011",
+    43: "00101100", 44: "00101101", 45: "00000100", 46: "00000101",
+    47: "00001010", 48: "00001011", 49: "01010010", 50: "01010011",
+    51: "01010100", 52: "01010101", 53: "00100100", 54: "00100101",
+    55: "01011000", 56: "01011001", 57: "01011010", 58: "01011011",
+    59: "01001010", 60: "01001011", 61: "00110010", 62: "00110011",
+    63: "00110100",
+    # make-ups
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100", 768: "011001101",
+    832: "011010010", 896: "011010011", 960: "011010100",
+    1024: "011010101", 1088: "011010110", 1152: "011010111",
+    1216: "011011000", 1280: "011011001", 1344: "011011010",
+    1408: "011011011", 1472: "010011000", 1536: "010011001",
+    1600: "010011010", 1664: "011000", 1728: "010011011",
+}
+
+BLACK_CODES = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011", 5: "0011",
+    6: "0010", 7: "00011", 8: "000101", 9: "000100", 10: "0000100",
+    11: "0000101", 12: "0000111", 13: "00000100", 14: "00000111",
+    15: "000011000", 16: "0000010111", 17: "0000011000",
+    18: "0000001000", 19: "00001100111", 20: "00001101000",
+    21: "00001101100", 22: "00000110111", 23: "00000101000",
+    24: "00000010111", 25: "00000011000", 26: "000011001010",
+    27: "000011001011", 28: "000011001100", 29: "000011001101",
+    30: "000001101000", 31: "000001101001", 32: "000001101010",
+    33: "000001101011", 34: "000011010010", 35: "000011010011",
+    36: "000011010100", 37: "000011010101", 38: "000011010110",
+    39: "000011010111", 40: "000001101100", 41: "000001101101",
+    42: "000011011010", 43: "000011011011", 44: "000001010100",
+    45: "000001010101", 46: "000001010110", 47: "000001010111",
+    48: "000001100100", 49: "000001100101", 50: "000001010010",
+    51: "000001010011", 52: "000000100100", 53: "000000110111",
+    54: "000000111000", 55: "000000100111", 56: "000000101000",
+    57: "000001011000", 58: "000001011001", 59: "000000101011",
+    60: "000000101100", 61: "000001011010", 62: "000001100110",
+    63: "000001100111",
+    # make-ups
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+
+# shared extended make-ups (T.4 §2.4.1.2, both colors)
+EXT_CODES = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+# 2-D mode codes (T.6 table 1)
+_MODE_PASS = "0001"
+_MODE_HORIZ = "001"
+_MODE_V = {0: "1", 1: "011", -1: "010", 2: "000011", -2: "000010",
+           3: "0000011", -3: "0000010"}
+EOFB = "000000000001" * 2
+
+
+class CcittError(ValueError):
+    pass
+
+
+def _decode_table(codes: dict[int, str], with_ext: bool = True):
+    t = {code: run for run, code in codes.items()}
+    if with_ext:
+        t.update({code: run for run, code in EXT_CODES.items()})
+    return t
+
+_WHITE_DEC = _decode_table(WHITE_CODES)
+_BLACK_DEC = _decode_table(BLACK_CODES)
+_MAXLEN = 14
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def peek(self, n: int) -> str:
+        end = min(self.pos + n, len(self.bits))
+        return "".join("1" if b else "0" for b in self.bits[self.pos : end])
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+    def exhausted(self) -> bool:
+        return self.pos >= len(self.bits)
+
+
+def _read_run(br: _BitReader, table) -> int:
+    """One run length = zero or more make-up codes + one terminating code."""
+    total = 0
+    while True:
+        window = br.peek(_MAXLEN)
+        for ln in range(2, _MAXLEN + 1):
+            run = table.get(window[:ln])
+            if run is not None:
+                br.skip(ln)
+                break
+        else:
+            raise CcittError(f"bad run code near bit {br.pos}: {window}")
+        total += run
+        if run < 64:
+            return total
+
+
+def _read_mode(br: _BitReader):
+    """Returns ('P',), ('H',), ('V', delta) or ('EOFB',)."""
+    w = br.peek(24)
+    if w.startswith(EOFB) or w == "" or set(w) == {"0"}:
+        return ("EOFB",)
+    if w.startswith("1"):
+        br.skip(1)
+        return ("V", 0)
+    if w.startswith("011"):
+        br.skip(3)
+        return ("V", 1)
+    if w.startswith("010"):
+        br.skip(3)
+        return ("V", -1)
+    if w.startswith("001"):
+        br.skip(3)
+        return ("H",)
+    if w.startswith("0001"):
+        br.skip(4)
+        return ("P",)
+    if w.startswith("000011"):
+        br.skip(6)
+        return ("V", 2)
+    if w.startswith("000010"):
+        br.skip(6)
+        return ("V", -2)
+    if w.startswith("0000011"):
+        br.skip(7)
+        return ("V", 3)
+    if w.startswith("0000010"):
+        br.skip(7)
+        return ("V", -3)
+    raise CcittError(f"bad 2-D mode code near bit {br.pos}: {w[:12]}")
+
+
+def _b1_b2(ref: list[int], a0: int, color: int, columns: int):
+    """b1 = first changing element on the reference line strictly right of
+    a0 with color opposite the coding color; b2 = the next one after it.
+    `ref` holds the reference line's changing positions (alternating: even
+    index = white->black). Imaginary changes at `columns` close the line."""
+    import bisect
+
+    i = bisect.bisect_right(ref, a0)
+    # transitions alternate white->black (even index) / black->white (odd):
+    # coding color white needs a turn-to-black (even i), black needs odd
+    if i % 2 != color:
+        i += 1
+    b1 = ref[i] if i < len(ref) else columns
+    b2 = ref[i + 1] if i + 1 < len(ref) else columns
+    return b1, b2
+
+
+def decode_g4(data: bytes, columns: int, rows: int) -> np.ndarray:
+    """Group 4 (K < 0) bytes -> (rows, columns) uint8 array of 0/1 where
+    1 = BLACK. G4 coding works in the white/black COLOR domain, so
+    /BlackIs1 (which only renames sample values) never changes this
+    function's output — callers map colors to gray directly."""
+    br = _BitReader(data)
+    out = np.zeros((rows, columns), dtype=np.uint8)
+    ref: list[int] = []  # imaginary all-white reference line
+    for y in range(rows):
+        cur: list[int] = []
+        a0, color = -1, 0
+        while a0 < columns:
+            mode = _read_mode(br)
+            if mode[0] == "EOFB":
+                if cur or y == 0:
+                    # mid-line EOFB: tolerate only as trailing fill
+                    pass
+                break
+            b1, b2 = _b1_b2(ref, a0, color, columns)
+            if mode[0] == "P":
+                a0 = b2
+            elif mode[0] == "V":
+                a1 = b1 + mode[1]
+                if a1 < 0 or a1 > columns:
+                    raise CcittError(f"vertical move out of line at row {y}")
+                cur.append(a1)
+                a0, color = a1, 1 - color
+            else:  # horizontal: two runs, color then opposite
+                start = max(a0, 0)
+                r1 = _read_run(br, _WHITE_DEC if color == 0 else _BLACK_DEC)
+                r2 = _read_run(br, _BLACK_DEC if color == 0 else _WHITE_DEC)
+                a1 = start + r1
+                a2 = a1 + r2
+                if a2 > columns:
+                    raise CcittError(f"horizontal runs overflow row {y}")
+                cur += [a1, a2]
+                a0 = a2
+            if len(cur) >= 2 and cur[-1] == cur[-2] == columns:
+                break
+        # paint: transitions alternate starting white
+        px = [c for c in cur if c <= columns]
+        for i in range(0, len(px) - 1 if len(px) % 2 else len(px), 2):
+            end = px[i + 1] if i + 1 < len(px) else columns
+            out[y, px[i]:end] = 1
+        ref = [c for c in cur if c < columns]
+        if br.exhausted() and y < rows - 1:
+            raise CcittError(f"stream exhausted at row {y + 1}/{rows}")
+    return out
+
+
+def _changes(row: np.ndarray) -> list[int]:
+    """Changing positions of a 0/1 row (first pixel's change from the
+    imaginary leading white)."""
+    d = np.flatnonzero(np.diff(np.concatenate(([0], row.astype(np.int8)))))
+    return d.tolist()
+
+
+def _emit_run(bits: list[str], run: int, color: int) -> None:
+    table = WHITE_CODES if color == 0 else BLACK_CODES
+    while run >= 64:
+        if run >= 2624:
+            bits.append(EXT_CODES[2560])
+            run -= 2560
+            continue
+        mk = min(run // 64 * 64, 2560)
+        if mk > 1728:
+            bits.append(EXT_CODES[mk])
+        else:
+            bits.append(table[mk])
+        run -= mk
+    bits.append(table[run])
+
+
+def encode_g4(bits_in: np.ndarray) -> bytes:
+    """(rows, columns) 0/1 array (1 = black) -> Group 4 bytes + EOFB.
+    The writer twin for self-verifying fixtures."""
+    import bisect
+
+    arr = (np.asarray(bits_in) != 0).astype(np.uint8)
+    rows, columns = arr.shape
+    out: list[str] = []
+    ref: list[int] = []
+    for y in range(rows):
+        cur = _changes(arr[y])
+        a0, color = -1, 0
+        while True:
+            i = bisect.bisect_right(cur, a0)
+            a1 = cur[i] if i < len(cur) else columns
+            b1, b2 = _b1_b2(ref, a0, color, columns)
+            if b2 < a1:
+                out.append(_MODE_PASS)
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                out.append(_MODE_V[a1 - b1])
+                a0, color = a1, 1 - color
+                if a0 >= columns:
+                    break
+            else:
+                j = bisect.bisect_right(cur, a1)
+                a2 = cur[j] if j < len(cur) else columns
+                start = max(a0, 0)
+                out.append(_MODE_HORIZ)
+                _emit_run(out, a1 - start, color)
+                _emit_run(out, a2 - a1, 1 - color)
+                a0 = a2
+                if a0 >= columns:
+                    break
+        ref = cur
+    out.append(EOFB)
+    s = "".join(out)
+    s += "0" * (-len(s) % 8)
+    return np.packbits(
+        np.frombuffer(s.encode("ascii"), dtype=np.uint8) - ord("0")
+    ).tobytes()

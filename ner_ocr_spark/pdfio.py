@@ -26,15 +26,19 @@ the catalog/page-tree dictionaries), cross-reference STREAMS standing in
 for the classic trailer (the /Root and /Encrypt checks read the /XRef
 dict; object discovery stays brute-scan), and predictor-compressed Flate
 images (TIFF Predictor 2 and PNG Predictors 10-15, sharing png._unfilter).
-`encode_image_pdf(objstm=True, predictor=...)` writes those same shapes,
-so the fixtures are self-verifying round-trips, as the progressive-JPEG
+A second round-4 wave adds the fax-era scanned-document shapes: 1/2/4-bit
+gray samples, /Decode sample remaps (inverted bilevel), /ImageMask
+stencils, RunLengthDecode, and CCITTFaxDecode Group 4 via the from-scratch
+T.6 codec in `ner_ocr_spark/ccitt.py`. `encode_image_pdf(objstm=True,
+predictor=..., rle=..., ccitt=...)` writes these same shapes, so the
+fixtures are self-verifying round-trips, as the progressive-JPEG
 encoder's are.
 
 Out-of-subset constructs fail with a distinct, actionable error that the
-pipeline absorbs per row (M6): encrypted files, non-8-bit or exotic
-colorspaces, and pages whose content is vector text rather than a scanned
-image (those genuinely need a rasterizer — plug pypdfium2 or any callable
-via `rasterizer=`).
+pipeline absorbs per row (M6): encrypted files, exotic colorspaces
+(ICC/Indexed/Separation), CCITT K>=0 (G3), JBIG2/JPX, and pages whose
+content is vector text rather than a scanned image (those genuinely need a
+rasterizer — plug pypdfium2 or any callable via `rasterizer=`).
 """
 
 from __future__ import annotations
@@ -459,10 +463,85 @@ def _predictor_undo(
     raise PdfError(f"predictor {predictor} unsupported")
 
 
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000 §7.4.5): length byte L < 128 copies the
+    next L+1 bytes; L > 128 repeats the next byte 257-L times; 128 = EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = data[i]
+        i += 1
+        if run == 128:
+            break
+        if run < 128:
+            if i + run + 1 > n:
+                raise PdfError("truncated RunLength literal run")
+            out += data[i : i + run + 1]
+            i += run + 1
+        else:
+            if i >= n:
+                raise PdfError("truncated RunLength repeat run")
+            out += bytes([data[i]]) * (257 - run)
+            i += 1
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """RunLengthDecode writer twin (fixture generator)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and j - i < 127 and data[j] == data[j + 1]:
+            j += 1
+        if j > i:
+            out += bytes([257 - (j - i + 1), data[i]])
+            i = j + 1
+        else:
+            k = i
+            while k < n and k - i < 128:
+                if k < n - 2 and data[k] == data[k + 1] == data[k + 2]:
+                    break
+                k += 1
+            out += bytes([k - i - 1]) + data[i:k]
+            i = k
+    out.append(128)
+    return bytes(out)
+
+
+def _gray_from_samples(
+    data: bytes, w: int, h: int, bpc: int, decode: list | None
+) -> np.ndarray:
+    """Byte-aligned rows of `bpc`-bit gray samples -> (h, w) uint8, with
+    the optional /Decode [d0 d1] sample remap (e.g. [1 0] = inverted
+    bilevel, the common fax-scan orientation)."""
+    rowbytes = (w * bpc + 7) // 8
+    if len(data) < h * rowbytes:
+        raise PdfError("image stream shorter than Height*rowbytes")
+    rows = np.frombuffer(data[: h * rowbytes], dtype=np.uint8).reshape(
+        h, rowbytes
+    )
+    if bpc == 8:
+        samples = rows[:, :w].astype(np.float64)
+    else:
+        bits = np.unpackbits(rows, axis=1)[:, : w * bpc]
+        weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.uint16)
+        samples = (
+            bits.reshape(h, w, bpc).astype(np.uint16) * weights
+        ).sum(axis=2).astype(np.float64)
+    maxval = float((1 << bpc) - 1)
+    d0, d1 = (decode if decode else [0.0, 1.0])[:2]
+    gray = (float(d0) + samples / maxval * (float(d1) - float(d0))) * 255.0
+    return np.clip(np.rint(gray), 0, 255).astype(np.uint8)
+
+
 def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
-    bpc = _deref(objs, image_dict.get("BitsPerComponent", 8))
-    if bpc != 8:
-        raise PdfError(f"{bpc}-bit image samples unsupported (8 only)")
+    imagemask = _deref(objs, image_dict.get("ImageMask", False)) is True
+    # /ImageMask images are 1-bit by definition (sample 0 paints the fill
+    # colour — black ink on a scanned page); decoded as bilevel gray
+    bpc = 1 if imagemask else _deref(objs, image_dict.get("BitsPerComponent", 8))
+    if bpc not in (1, 2, 4, 8):
+        raise PdfError(f"{bpc}-bit image samples unsupported (1/2/4/8)")
     w = _deref(objs, image_dict.get("Width"))
     h = _deref(objs, image_dict.get("Height"))
     if not isinstance(w, int) or not isinstance(h, int):
@@ -470,11 +549,39 @@ def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
     filters = _filters(image_dict)
     if filters == ["DCTDecode"]:
         return png.to_gray(jpeg.decode(bytes(stream)))
-    if filters in ([], ["FlateDecode"]):
+    if filters == ["CCITTFaxDecode"]:
         parms = _deref(objs, image_dict.get("DecodeParms")) or {}
         if isinstance(parms, list):
             parms = _deref(objs, parms[0]) if parms else {}
-        data = zlib.decompress(stream) if filters else bytes(stream)
+        k = _deref(objs, parms.get("K", 0))
+        if not isinstance(k, int) or k >= 0:
+            raise PdfError(f"CCITT K={k} unsupported (Group 4, K<0, only)")
+        if _deref(objs, parms.get("EncodedByteAlign", False)):
+            raise PdfError("CCITT EncodedByteAlign unsupported")
+        from ner_ocr_spark import ccitt
+
+        try:
+            bits = ccitt.decode_g4(
+                bytes(stream), _deref(objs, parms.get("Columns", 1728)), h
+            )
+        except ccitt.CcittError as e:
+            raise PdfError(f"bad CCITT G4 stream: {e}") from e
+        decode = _deref(objs, image_dict.get("Decode"))
+        # color domain: 1 = black ink -> gray 0
+        gray = np.where(bits[:, :w] != 0, np.uint8(0), np.uint8(255))
+        if decode and list(decode[:2]) == [1, 0]:
+            gray = 255 - gray
+        return gray
+    if filters in ([], ["FlateDecode"], ["RunLengthDecode"]):
+        parms = _deref(objs, image_dict.get("DecodeParms")) or {}
+        if isinstance(parms, list):
+            parms = _deref(objs, parms[0]) if parms else {}
+        if filters == ["FlateDecode"]:
+            data = zlib.decompress(stream)
+        elif filters == ["RunLengthDecode"]:
+            data = _rle_decode(bytes(stream))
+        else:
+            data = bytes(stream)
         cs = _deref(objs, image_dict.get("ColorSpace", "DeviceGray"))
         pred = _deref(objs, parms.get("Predictor", 1))
         if pred != 1:
@@ -485,18 +592,19 @@ def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
                 _deref(objs, parms.get("Colors", ncomp)),
                 _deref(objs, parms.get("BitsPerComponent", 8)),
             )
-        if cs == "DeviceGray":
-            if len(data) < w * h:
-                raise PdfError("image stream shorter than Width*Height")
-            return np.frombuffer(data[: w * h], dtype=np.uint8).reshape(h, w)
+        decode = _deref(objs, image_dict.get("Decode"))
+        if imagemask or cs == "DeviceGray":
+            return _gray_from_samples(data, w, h, bpc, decode)
         if cs == "DeviceRGB":
+            if bpc != 8:
+                raise PdfError("sub-8-bit DeviceRGB unsupported")
             if len(data) < w * h * 3:
                 raise PdfError("image stream shorter than Width*Height*3")
             rgb = np.frombuffer(data[: w * h * 3], dtype=np.uint8)
             return png.to_gray(rgb.reshape(h, w, 3))
         raise PdfError(f"colorspace {cs} unsupported (DeviceGray/DeviceRGB)")
     raise PdfError(f"image filter chain {filters} unsupported "
-                   "(FlateDecode or DCTDecode)")
+                   "(FlateDecode, DCTDecode, RunLengthDecode, CCITTFaxDecode)")
 
 
 def _do_order(objs, page: dict) -> list[str]:
@@ -627,12 +735,16 @@ def encode_image_pdf(
     jpeg_quality: object = None,
     objstm: bool = False,
     predictor: int | None = None,
+    rle: bool = False,
+    ccitt: bool = False,
 ) -> bytes:
-    """Write a PDF with one image per page. Each element of `pages` is
-    either a 2-D uint8 numpy array (embedded as FlateDecode /DeviceGray)
-    or raw JPEG bytes (embedded as DCTDecode, zero-recompression — the
-    standard scanned-PDF shape). An empty list writes a valid zero-page
-    document (the ADVICE zero-page edge case).
+    """Write a PDF with one image per page. Each element of `pages` is a
+    2-D uint8 numpy array (embedded as FlateDecode /DeviceGray — or
+    RunLengthDecode with rle=True), a 2-D BOOL array (embedded as 1-bit
+    DeviceGray bilevel, True = white), or raw JPEG bytes (embedded as
+    DCTDecode, zero-recompression — the standard scanned-PDF shape). An
+    empty list writes a valid zero-page document (the ADVICE zero-page
+    edge case).
 
     Round-4 modes matching the default output of PDF >= 1.5 writers:
     `predictor` (2 or 10-15) predictor-compresses the Flate image data
@@ -662,26 +774,47 @@ def encode_image_pdf(
             h, w = arr.shape[:2]
             ncomp = 1 if arr.ndim == 2 else arr.shape[2]
             cs = b"/DeviceGray" if ncomp == 1 else b"/DeviceRGB"
-            filt = b"/DCTDecode"
-            parms = b""
+            filt, parms, bpc = b"/DCTDecode", b"", 8
+        elif isinstance(item, np.ndarray) and item.dtype == bool:
+            # bilevel page: True = white. ccitt=True writes the classic
+            # fax filter (Group 4); default is 1-bit packed Flate
+            if item.ndim != 2:
+                raise PdfError("bool page must be 2-D")
+            h, w = item.shape
+            if ccitt:
+                from ner_ocr_spark import ccitt as _ccitt
+
+                data = _ccitt.encode_g4((~item).astype(np.uint8))
+                filt = b"/CCITTFaxDecode"
+                parms = (b"/DecodeParms << /K -1 /Columns %d /Rows %d >> "
+                         % (w, h))
+                cs, bpc = b"/DeviceGray", 1
+            else:
+                data = zlib.compress(np.packbits(item, axis=1).tobytes(), 6)
+                cs, bpc, filt, parms = b"/DeviceGray", 1, b"/FlateDecode", b""
         else:
             arr = np.asarray(item, dtype=np.uint8)
             if arr.ndim != 2:
                 raise PdfError("array page must be 2-D grayscale uint8")
             h, w = arr.shape
-            raw = (_predictor_apply(arr, predictor) if predictor
-                   else arr.tobytes())
-            data = zlib.compress(raw, 6)
+            if rle:
+                data = _rle_encode(arr.tobytes())
+                filt, parms, bpc = b"/RunLengthDecode", b"", 8
+            else:
+                raw = (_predictor_apply(arr, predictor) if predictor
+                       else arr.tobytes())
+                data = zlib.compress(raw, 6)
+                filt, bpc = b"/FlateDecode", 8
+                parms = (
+                    b"/DecodeParms << /Predictor %d /Columns %d /Colors 1 "
+                    b"/BitsPerComponent 8 >> " % (predictor, w)
+                ) if predictor else b""
             cs = b"/DeviceGray"
-            filt = b"/FlateDecode"
-            parms = (
-                b"/DecodeParms << /Predictor %d /Columns %d /Colors 1 "
-                b"/BitsPerComponent 8 >> " % (predictor, w)
-            ) if predictor else b""
         img_num = add(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-            b"/ColorSpace %s /BitsPerComponent 8 /Filter %s %s/Length %d >>\n"
-            b"stream\n%s\nendstream" % (w, h, cs, filt, parms, len(data), data)
+            b"/ColorSpace %s /BitsPerComponent %d /Filter %s %s/Length %d >>\n"
+            b"stream\n%s\nendstream"
+            % (w, h, cs, bpc, filt, parms, len(data), data)
         )
         stream_obj_nums.add(img_num)
         content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)

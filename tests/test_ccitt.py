@@ -1,0 +1,199 @@
+"""CCITT Group 4 (T.6) codec + round-4 scanned-document PDF shapes:
+sub-8-bit gray, /Decode remaps, /ImageMask, RunLengthDecode, CCITTFax.
+
+Verification strategy: encoder/decoder round-trips (structured, random,
+boundary bitmaps) PLUS structural audits of the T.4 Huffman tables —
+prefix-freeness and exact code counts per color — which catch table
+transcription errors that a symmetric round-trip cannot (a wrong code
+shared by encoder and decoder still round-trips). Cross-engine validation
+against pypdfium2 runs when importable (not in this container).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ner_ocr_spark import ccitt, pdfio
+
+
+def _rng():
+    return np.random.default_rng(29)
+
+
+# -- codec round-trips -------------------------------------------------------
+
+
+@pytest.mark.parametrize("name,arr", [
+    ("all_white", np.zeros((12, 64), np.uint8)),
+    ("all_black", np.ones((12, 64), np.uint8)),
+    ("single_pixel", np.eye(7, 9, dtype=np.uint8)),
+    ("odd_width", (_rng().random((23, 61)) < 0.3).astype(np.uint8)),
+    ("dense", (_rng().random((31, 80)) < 0.5).astype(np.uint8)),
+    ("stripes", np.tile(np.array([0, 1] * 40, np.uint8), (20, 1))),
+    ("wide_runs", np.repeat(
+        _rng().integers(0, 2, (8, 40)).astype(np.uint8), 70, axis=1)),
+])
+def test_g4_roundtrip(name, arr):
+    dec = ccitt.decode_g4(ccitt.encode_g4(arr), arr.shape[1], arr.shape[0])
+    assert np.array_equal(dec, arr), name
+
+
+def test_g4_roundtrip_textlike():
+    """Text-stroke geometry — the shapes pass/vertical/horizontal modes
+    actually trade on in scanned documents."""
+    a = np.zeros((40, 120), np.uint8)
+    a[5:8, 10:110] = 1
+    a[15:32, 20:24] = 1
+    a[15:32, 60:64] = 1
+    a[28:32, 24:60] = 1
+    a[36, ::3] = 1
+    dec = ccitt.decode_g4(ccitt.encode_g4(a), 120, 40)
+    assert np.array_equal(dec, a)
+
+
+def test_g4_truncated_stream_raises():
+    a = (_rng().random((20, 60)) < 0.4).astype(np.uint8)
+    enc = ccitt.encode_g4(a)
+    with pytest.raises(ccitt.CcittError):
+        ccitt.decode_g4(enc[: len(enc) // 3], 60, 20)
+
+
+# -- table structural audits (catch what round-trip can't) -------------------
+
+
+def _audit(codes: dict[int, str], n_term: int, n_makeup: int):
+    all_codes = list(codes.values())
+    assert len(set(all_codes)) == len(all_codes), "duplicate code"
+    srt = sorted(all_codes)
+    for a, b in zip(srt, srt[1:]):
+        assert not b.startswith(a), f"prefix violation: {a} < {b}"
+    terms = [r for r in codes if r < 64]
+    mks = [r for r in codes if r >= 64]
+    assert sorted(terms) == list(range(n_term))
+    assert sorted(mks) == [64 * i for i in range(1, n_makeup + 1)]
+
+
+def test_white_table_structure():
+    _audit(ccitt.WHITE_CODES, 64, 27)  # terms 0-63, make-ups 64..1728
+
+
+def test_black_table_structure():
+    _audit(ccitt.BLACK_CODES, 64, 27)
+
+
+def test_ext_table_structure():
+    assert sorted(ccitt.EXT_CODES) == [1792 + 64 * i for i in range(13)]
+    # extended make-ups must stay prefix-free against BOTH color tables
+    for base in (ccitt.WHITE_CODES, ccitt.BLACK_CODES):
+        merged = list(base.values()) + list(ccitt.EXT_CODES.values())
+        assert len(set(merged)) == len(merged)
+        srt = sorted(merged)
+        for a, b in zip(srt, srt[1:]):
+            assert not b.startswith(a), f"prefix violation: {a} < {b}"
+
+
+def test_mode_codes_prefix_free():
+    modes = ["0001", "001"] + list(ccitt._MODE_V.values())
+    srt = sorted(modes)
+    for a, b in zip(srt, srt[1:]):
+        assert not b.startswith(a)
+
+
+def test_cross_engine_when_available():
+    """If a second PDF engine is importable, its CCITT decode must agree
+    with ours (skips in this container — documented limitation)."""
+    pytest.importorskip("pypdfium2")
+    a = (_rng().random((30, 90)) < 0.3).astype(np.uint8)
+    blob = pdfio.encode_image_pdf([a == 0], ccitt=True)  # True = white
+    import pypdfium2 as pdfium
+
+    page = pdfium.PdfDocument(blob)[0]
+    rendered = np.asarray(page.render(scale=1.0).to_numpy())
+    ours = pdfio.extract_page_images(blob)[0]
+    assert np.array_equal(ours < 128, rendered[..., 0] < 128)
+
+
+# -- PDF-shape round-trips through pdfio -------------------------------------
+
+
+def test_pdf_ccitt_page_roundtrip():
+    ink = (_rng().random((35, 70)) < 0.25)
+    blob = pdfio.encode_image_pdf([~ink], ccitt=True)  # bool True = white
+    assert b"/CCITTFaxDecode" in blob and b"/K -1" in blob
+    (page,) = pdfio.extract_page_images(blob)
+    assert np.array_equal(page == 0, ink)  # ink -> gray 0
+
+
+def test_pdf_1bit_flate_roundtrip():
+    white = _rng().random((25, 50)) < 0.5
+    blob = pdfio.encode_image_pdf([white])
+    assert b"/BitsPerComponent 1" in blob
+    (page,) = pdfio.extract_page_images(blob)
+    assert np.array_equal(page, np.where(white, 255, 0).astype(np.uint8))
+
+
+def test_pdf_rle_roundtrip():
+    g = np.repeat(_rng().integers(0, 256, (20, 8)), 5, axis=1).astype(np.uint8)
+    blob = pdfio.encode_image_pdf([g], rle=True)
+    assert b"/RunLengthDecode" in blob
+    (page,) = pdfio.extract_page_images(blob)
+    assert np.array_equal(page, g)
+
+
+def test_rle_codec_edge_cases():
+    for data in (b"", b"a", b"a" * 300, b"abc" * 50,
+                 bytes(_rng().integers(0, 256, 1000))):
+        assert pdfio._rle_decode(pdfio._rle_encode(data)) == data
+
+
+def test_pdf_decode_array_inverts_bilevel():
+    """/Decode [1 0] — the inverted-bilevel orientation fax scans use."""
+    white = _rng().random((10, 40)) < 0.5
+    blob = pdfio.encode_image_pdf([white])
+    tampered = blob.replace(
+        b"/BitsPerComponent 1 ", b"/BitsPerComponent 1 /Decode [1 0] "
+    )
+    assert tampered != blob
+    (page,) = pdfio.extract_page_images(tampered)
+    assert np.array_equal(page, np.where(white, 0, 255).astype(np.uint8))
+
+
+def test_pdf_imagemask_stencil():
+    """/ImageMask true: implicit 1-bit, sample 0 paints (black ink)."""
+    white = _rng().random((10, 40)) < 0.5
+    blob = pdfio.encode_image_pdf([white])
+    tampered = blob.replace(
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 ",
+        b"/ImageMask true ",
+    )
+    assert tampered != blob
+    (page,) = pdfio.extract_page_images(tampered)
+    # sample 0 (False) -> paint -> black; sample 1 -> unpainted -> white
+    assert np.array_equal(page, np.where(white, 255, 0).astype(np.uint8))
+
+
+@pytest.mark.parametrize("bpc", [2, 4])
+def test_pdf_sub8bit_gray(bpc):
+    """2-/4-bit gray samples (hand-built image dict; the writer emits 1/8
+    only): decoded levels scale to 0..255 by maxval."""
+    import zlib
+
+    levels = 1 << bpc
+    w, h = levels * 3 + 1, 4
+    samples = np.tile(np.arange(w) % levels, (h, 1)).astype(np.uint8)
+    # pack bpc-bit samples into byte-aligned rows
+    bits = ((samples[..., None] >> np.arange(bpc - 1, -1, -1)) & 1).reshape(
+        h, w * bpc
+    )
+    data = zlib.compress(np.packbits(bits.astype(np.uint8), axis=1).tobytes())
+    blob = pdfio.encode_image_pdf([np.zeros((h, w), np.uint8)])
+    old = blob[blob.index(b"<< /Type /XObject"):blob.index(b"endstream")]
+    new = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%s\n" % (w, h, bpc, len(data), data)
+    )
+    (page,) = pdfio.extract_page_images(blob.replace(old, new))
+    want = np.rint(samples / (levels - 1) * 255).astype(np.uint8)
+    assert np.array_equal(page, want)
