@@ -298,6 +298,23 @@ def test_objstm_plus_predictor_end_to_end(spark):
     assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == want
 
 
+def test_ccitt_bilevel_end_to_end(spark):
+    """A Group-4 fax-compressed bilevel scan flows through the full Spark
+    pipeline with span equality — the classic scanned-document shape."""
+    pages = [_page_gray(lines) > 127 for lines in PAGE_LINES]  # True = white
+    blob = pdfio.encode_image_pdf(pages, ccitt=True)
+    assert b"/CCITTFaxDecode" in blob
+    out = pipeline.run(spark, _docs(spark), blob_resolver=_resolver_for(blob))
+    spans = {r["doc_id"]: r["spans"] for r in out.collect()}["p0"]
+    want = (
+        [("text", "INTRO TEXT SPAN", None)]
+        + [("pdf", normalize_text(line), "store/scan.pdf")
+           for page in PAGE_LINES for line in page]
+        + [("text", "CLOSING SPAN", None)]
+    )
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == want
+
+
 def test_xref_stream_carries_encrypt_rejection():
     """/Encrypt in the xref STREAM dict (no classic trailer present) must
     still fail closed with the distinct encryption error."""
