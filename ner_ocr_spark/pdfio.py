@@ -607,9 +607,7 @@ def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
                    "(FlateDecode, DCTDecode, RunLengthDecode, CCITTFaxDecode)")
 
 
-def _do_order(objs, page: dict) -> list[str]:
-    """XObject names in the order the page's content stream Do-draws them
-    (empty on any parse trouble — callers fall back to name order)."""
+def _content_bytes(objs, page: dict) -> bytes:
     contents = page.get("Contents")
     streams: list[bytes] = []
     for item in (contents if isinstance(contents, list) else [contents]):
@@ -625,12 +623,109 @@ def _do_order(objs, page: dict) -> list[str]:
             elif not filters:
                 streams.append(bytes(stream))
         except Exception:  # noqa: BLE001 — fall back to name order
-            return []
-    data = b"\n".join(streams)
-    return [
-        m.group(1).decode("latin-1")
-        for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+Do\b", data)
-    ]
+            return b""
+    return b"\n".join(streams)
+
+
+_CS_TOKEN = re.compile(
+    rb"/([^\s/<>\[\]()]+)"          # name
+    rb"|(-?(?:\d+\.?\d*|\.\d+))"    # number
+    rb"|([A-Za-z'\"*]+)"            # operator
+)
+
+
+def _draw_ops(objs, page: dict) -> list[tuple[str, tuple]]:
+    """[(xobject_name, CTM)] for each `Do` in content-stream order, with
+    the CTM tracked through q/Q/cm — the placement a viewer would use.
+    Empty on any parse trouble (callers fall back to name order)."""
+    data = _content_bytes(objs, page)
+    ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+    def mul(m1, m2):  # apply m1 then m2
+        a1, b1, c1, d1, e1, f1 = m1
+        a2, b2, c2, d2, e2, f2 = m2
+        return (
+            a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+            c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+            e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2,
+        )
+
+    ctm, stack = ident, []
+    nums: list[float] = []
+    last_name = None
+    out: list[tuple[str, tuple]] = []
+    for m in _CS_TOKEN.finditer(data):
+        name, num, op = m.group(1), m.group(2), m.group(3)
+        if num is not None:
+            nums.append(float(num))
+            continue
+        if name is not None:
+            last_name = name.decode("latin-1")
+            continue
+        ops = op.decode("latin-1")
+        if ops == "q":
+            stack.append(ctm)
+        elif ops == "Q":
+            ctm = stack.pop() if stack else ident
+        elif ops == "cm" and len(nums) >= 6:
+            ctm = mul(tuple(nums[-6:]), ctm)
+        elif ops == "Do" and last_name is not None:
+            out.append((last_name, ctm))
+        nums = []
+    return out
+
+
+def _compose_page(objs, images: dict, draws: list, media) -> np.ndarray:
+    """Paint multiple image draws onto one page canvas in content order
+    (later over earlier) — the multi-strip scanner shape, where each page
+    arrives as a stack of image bands. Subset: axis-aligned placements
+    only (b = c = 0; negative scales flip); canvas resolution follows the
+    densest draw so no strip loses pixels."""
+    placed = []
+    for name, (a, b, c, d, e, f) in draws:
+        if abs(b) > 1e-9 or abs(c) > 1e-9:
+            raise PdfError("rotated/skewed image placement unsupported")
+        if abs(a) < 1e-9 or abs(d) < 1e-9:
+            continue  # zero-size draw paints nothing
+        value, stream = images[name]
+        if stream is None:
+            raise PdfError("image XObject has no stream")
+        img = _decode_image_xobject(objs, value, stream)
+        if a < 0:
+            img = img[:, ::-1]
+        if d < 0:
+            img = img[::-1, :]
+        x0, x1 = sorted((e, e + a))
+        y0, y1 = sorted((f, f + d))
+        placed.append((img, x0, y0, x1, y1))
+    if not placed:
+        raise PdfError("page draws no image")
+    mx0, my0, mx1, my1 = (float(v) for v in media)
+    pw, ph = max(mx1 - mx0, 1e-6), max(my1 - my0, 1e-6)
+    # pixels per point: keep the densest strip 1:1; bounded canvas
+    s = max(
+        max(im.shape[0] / (y1 - y0), im.shape[1] / (x1 - x0))
+        for im, x0, y0, x1, y1 in placed
+    )
+    s = min(s, 20000.0 / max(pw, ph))
+    W, H = max(1, round(pw * s)), max(1, round(ph * s))
+    canvas = np.full((H, W), 255, dtype=np.uint8)
+    for img, x0, y0, x1, y1 in placed:
+        cx0, cx1 = round((x0 - mx0) * s), round((x1 - mx0) * s)
+        cy0, cy1 = round((my1 - y1) * s), round((my1 - y0) * s)  # y-down
+        tw, th = cx1 - cx0, cy1 - cy0
+        if tw <= 0 or th <= 0:
+            continue
+        yi = (np.arange(th) * img.shape[0] // th).clip(0, img.shape[0] - 1)
+        xi = (np.arange(tw) * img.shape[1] // tw).clip(0, img.shape[1] - 1)
+        tile = img[yi][:, xi]
+        ox0, oy0 = max(cx0, 0), max(cy0, 0)
+        ox1, oy1 = min(cx1, W), min(cy1, H)
+        if ox1 <= ox0 or oy1 <= oy0:
+            continue
+        canvas[oy0:oy1, ox0:ox1] = tile[oy0 - cy0 : oy1 - cy0,
+                                        ox0 - cx0 : ox1 - cx0]
+    return canvas
 
 
 def extract_page_images(blob: bytes) -> list[np.ndarray]:
@@ -662,14 +757,26 @@ def extract_page_images(blob: bytes) -> list[np.ndarray]:
                 "outside the extractor subset; plug a rasterizer "
                 "(pypdfium2) via rasterizer="
             )
-        # choose by content-stream draw order (first `/Name Do`), the image
-        # a viewer paints first — name-sorted order is only the fallback
-        # when the content stream is absent/undecodable
-        chosen = sorted(images)[0]
-        for name in _do_order(objs, page):
-            if name in images:
-                chosen = name
-                break
+        draws = [(n, m) for n, m in _draw_ops(objs, page) if n in images]
+        if len(draws) > 1:
+            # multi-strip / multi-draw page: composite in content order
+            # (later over earlier), placed by each draw's CTM
+            media = _deref(objs, page.get("MediaBox")) or None
+            if not (isinstance(media, list) and len(media) == 4):
+                # subset fallback: bound the draws themselves
+                xs = [v for _, (a, b, c, d, e, f) in draws
+                      for v in (e, e + a)]
+                ys = [v for _, (a, b, c, d, e, f) in draws
+                      for v in (f, f + d)]
+                media = [min(xs), min(ys), max(xs), max(ys)]
+            out.append(_compose_page(
+                objs, images, draws, [_deref(objs, v) for v in media]
+            ))
+            continue
+        # single draw (or undecodable content stream): that image IS the
+        # page at its native resolution — returned exactly, no resample.
+        # Name-sorted order is the fallback when no draw parses.
+        chosen = draws[0][0] if draws else sorted(images)[0]
         value, stream = images[chosen]
         if stream is None:
             raise PdfError(f"page {idx}: image XObject has no stream")
@@ -766,6 +873,49 @@ def encode_image_pdf(
     add(b"")  # 1: catalog (filled later)
     add(b"")  # 2: pages (filled later)
     for item in pages:
+        if isinstance(item, (list, tuple)):
+            # multi-strip page (the band-scanner shape): one image XObject
+            # per strip, stacked top -> bottom by the content stream's CTMs
+            strips = [np.asarray(s, dtype=np.uint8) for s in item]
+            if not strips or any(s.ndim != 2 for s in strips):
+                raise PdfError("strip page must be a list of 2-D gray arrays")
+            w = strips[0].shape[1]
+            if any(s.shape[1] != w for s in strips):
+                raise PdfError("strips must share a width")
+            total_h = sum(s.shape[0] for s in strips)
+            strip_nums = []
+            for sarr in strips:
+                sdata = zlib.compress(sarr.tobytes(), 6)
+                n = add(
+                    b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                    b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+                    % (w, sarr.shape[0], len(sdata), sdata)
+                )
+                stream_obj_nums.add(n)
+                strip_nums.append(n)
+            parts, y = [], total_h
+            for i, sarr in enumerate(strips):
+                y -= sarr.shape[0]
+                parts.append(b"q %d 0 0 %d 0 %d cm /Im%d Do Q"
+                             % (w, sarr.shape[0], y, i))
+            content = b" ".join(parts)
+            content_num = add(
+                b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(content), content)
+            )
+            stream_obj_nums.add(content_num)
+            xo = b" ".join(
+                b"/Im%d %d 0 R" % (i, n) for i, n in enumerate(strip_nums)
+            )
+            page_num = add(
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+                b"/Resources << /XObject << %s >> >> /Contents %d 0 R >>"
+                % (w, total_h, xo, content_num)
+            )
+            page_obj_nums.append(page_num)
+            kids_parts.append(b"%d 0 R" % page_num)
+            continue
         if isinstance(item, (bytes, bytearray)):
             data = bytes(item)
             if data[:2] != b"\xff\xd8":

@@ -106,16 +106,23 @@ def test_reader_survives_xref_damage():
     assert np.array_equal(pages[0], g)
 
 
-def test_multi_image_page_honors_do_order():
-    """Two image XObjects on one page: the one the content stream draws
-    first (/Im1 Do before /Im0 Do) wins, not the lexicographically-first
-    name."""
+def test_multi_image_page_composites_in_draw_order():
+    """Two image XObjects on one page composite like a viewer paints them:
+    /Im1 (200) full-page first, then /Im0 (10) over the bottom-left
+    quarter — later draws win where they overlap (round-4: the first-
+    drawn-wins heuristic became a real CTM-placed compositor)."""
     a = np.full((6, 6), 10, np.uint8)
     b = np.full((6, 6), 200, np.uint8)
     blob = pdfio.encode_image_pdf([a])
     assert b"/Im0 Do" in blob  # fixture content streams are stored raw
     pages = pdfio.extract_page_images(_add_second_image(blob, b))
-    assert np.array_equal(pages[0], b)
+    page = pages[0]
+    # canvas density follows the densest draw: Im0 is 6 px over 3 pt
+    # (2 px/pt), so the 6-pt page renders at 12x12
+    assert page.shape == (12, 12)
+    assert (page[0:6, :] == 200).all()       # top half: Im1 only
+    assert (page[6:12, 0:6] == 10).all()     # bottom-left: Im0 over Im1
+    assert (page[6:12, 6:12] == 200).all()   # bottom-right: Im1 only
 
 
 def _add_second_image(blob: bytes, img: np.ndarray) -> bytes:
@@ -134,7 +141,7 @@ def _add_second_image(blob: bytes, img: np.ndarray) -> bytes:
         b"/Length %d >>\nstream\n%s\nendstream\nendobj\n"
         % (next_num, w, h, len(data), data)
     )
-    content = b"q %d 0 0 %d 0 0 cm /Im1 Do Q q 6 0 0 6 0 0 cm /Im0 Do Q" % (w, h)
+    content = b"q %d 0 0 %d 0 0 cm /Im1 Do Q q 3 0 0 3 0 0 cm /Im0 Do Q" % (w, h)
     content_obj = (
         b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
         % (next_num + 1, len(content), content)
@@ -353,3 +360,37 @@ def test_fake_obj_token_inside_stream_payload_is_skipped():
     eof = blob.rindex(b"%%EOF")
     pages = pdfio.extract_page_images(blob[:eof] + extra + blob[eof:])
     assert len(pages) == 1 and np.array_equal(pages[0], g)
+
+
+# -- round-4 second wave: multi-strip scanner pages --------------------------
+
+
+def test_strip_page_roundtrip_exact():
+    """The band-scanner shape: a page arriving as stacked image strips
+    composites back to the exact original bitmap (CTM-placed, draw order,
+    1 px/pt canvas)."""
+    rng = np.random.default_rng(5)
+    full = rng.integers(0, 256, (60, 80), dtype=np.uint8)
+    strips = [full[0:17], full[17:40], full[40:60]]
+    blob = pdfio.encode_image_pdf([strips])
+    (page,) = pdfio.extract_page_images(blob)
+    assert np.array_equal(page, full)
+
+
+def test_strip_page_end_to_end(spark):
+    """A 4-strip scanned page flows through the full Spark pipeline with
+    span equality — the strips must reassemble before OCR sees the page."""
+    full = _page_gray(PAGE_LINES[0])
+    h = full.shape[0]
+    cuts = [0, h // 4, h // 2, 3 * h // 4, h]
+    strips = [full[cuts[i]:cuts[i + 1]] for i in range(4)]
+    blob = pdfio.encode_image_pdf([strips])
+    out = pipeline.run(spark, _docs(spark), blob_resolver=_resolver_for(blob))
+    spans = {r["doc_id"]: r["spans"] for r in out.collect()}["p0"]
+    want = (
+        [("text", "INTRO TEXT SPAN", None)]
+        + [("pdf", normalize_text(line), "store/scan.pdf")
+           for line in PAGE_LINES[0]]
+        + [("text", "CLOSING SPAN", None)]
+    )
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == want
