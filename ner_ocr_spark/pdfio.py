@@ -509,12 +509,8 @@ def _rle_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _gray_from_samples(
-    data: bytes, w: int, h: int, bpc: int, decode: list | None
-) -> np.ndarray:
-    """Byte-aligned rows of `bpc`-bit gray samples -> (h, w) uint8, with
-    the optional /Decode [d0 d1] sample remap (e.g. [1 0] = inverted
-    bilevel, the common fax-scan orientation)."""
+def _samples_from_rows(data: bytes, w: int, h: int, bpc: int) -> np.ndarray:
+    """Byte-aligned rows of `bpc`-bit samples -> (h, w) integer array."""
     rowbytes = (w * bpc + 7) // 8
     if len(data) < h * rowbytes:
         raise PdfError("image stream shorter than Height*rowbytes")
@@ -522,13 +518,21 @@ def _gray_from_samples(
         h, rowbytes
     )
     if bpc == 8:
-        samples = rows[:, :w].astype(np.float64)
-    else:
-        bits = np.unpackbits(rows, axis=1)[:, : w * bpc]
-        weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.uint16)
-        samples = (
-            bits.reshape(h, w, bpc).astype(np.uint16) * weights
-        ).sum(axis=2).astype(np.float64)
+        return rows[:, :w].astype(np.uint16)
+    bits = np.unpackbits(rows, axis=1)[:, : w * bpc]
+    weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.uint16)
+    return (
+        bits.reshape(h, w, bpc).astype(np.uint16) * weights
+    ).sum(axis=2).astype(np.uint16)
+
+
+def _gray_from_samples(
+    data: bytes, w: int, h: int, bpc: int, decode: list | None
+) -> np.ndarray:
+    """Byte-aligned rows of `bpc`-bit gray samples -> (h, w) uint8, with
+    the optional /Decode [d0 d1] sample remap (e.g. [1 0] = inverted
+    bilevel, the common fax-scan orientation)."""
+    samples = _samples_from_rows(data, w, h, bpc).astype(np.float64)
     maxval = float((1 << bpc) - 1)
     d0, d1 = (decode if decode else [0.0, 1.0])[:2]
     gray = (float(d0) + samples / maxval * (float(d1) - float(d0))) * 255.0
@@ -595,6 +599,33 @@ def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
         decode = _deref(objs, image_dict.get("Decode"))
         if imagemask or cs == "DeviceGray":
             return _gray_from_samples(data, w, h, bpc, decode)
+        if isinstance(cs, list) and cs and str(cs[0]) == "Indexed":
+            # [/Indexed base hival lookup]: samples are palette indices
+            base = _deref(objs, cs[1])
+            hival = _deref(objs, cs[2])
+            lk = cs[3]
+            if isinstance(lk, Ref):
+                lval, lstream = objs.get(lk.num, (None, None))
+                if lstream is None:
+                    raise PdfError("Indexed lookup stream missing")
+                lookup = _decode_stream(
+                    objs, lval if isinstance(lval, dict) else {}, lstream
+                )
+            elif isinstance(lk, (bytes, bytearray)):
+                lookup = bytes(lk)
+            else:
+                raise PdfError("Indexed lookup must be a string or stream")
+            ncomp = {"DeviceRGB": 3, "DeviceGray": 1}.get(str(base))
+            if ncomp is None:
+                raise PdfError(f"Indexed base {base} unsupported")
+            if len(lookup) < (hival + 1) * ncomp:
+                raise PdfError("Indexed lookup shorter than (hival+1)*ncomp")
+            idx = np.minimum(_samples_from_rows(data, w, h, bpc), hival)
+            pal = np.frombuffer(
+                lookup[: (hival + 1) * ncomp], dtype=np.uint8
+            ).reshape(hival + 1, ncomp)
+            px = pal[idx]
+            return px[..., 0] if ncomp == 1 else png.to_gray(px)
         if cs == "DeviceRGB":
             if bpc != 8:
                 raise PdfError("sub-8-bit DeviceRGB unsupported")

@@ -197,3 +197,31 @@ def test_pdf_sub8bit_gray(bpc):
     (page,) = pdfio.extract_page_images(blob.replace(old, new))
     want = np.rint(samples / (levels - 1) * 255).astype(np.uint8)
     assert np.array_equal(page, want)
+
+
+def test_pdf_indexed_palette_image():
+    """[/Indexed /DeviceRGB hival <lookup>] palette images (web/scan
+    writers emit these for low-color pages): 4-bit indices resolve through
+    the palette, then gray via the shared RGB->gray transform."""
+    import zlib
+
+    from ner_ocr_spark import png
+
+    rng = _rng()
+    w, h, bpc = 21, 6, 4
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    bits = ((idx[..., None] >> np.arange(bpc - 1, -1, -1)) & 1).reshape(
+        h, w * bpc
+    )
+    data = zlib.compress(np.packbits(bits.astype(np.uint8), axis=1).tobytes())
+    blob = pdfio.encode_image_pdf([np.zeros((h, w), np.uint8)])
+    old = blob[blob.index(b"<< /Type /XObject"):blob.index(b"endstream")]
+    new = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace [/Indexed /DeviceRGB 15 <%s>] /BitsPerComponent %d "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n%s\n"
+        % (w, h, pal.tobytes().hex().encode(), bpc, len(data), data)
+    )
+    (page,) = pdfio.extract_page_images(blob.replace(old, new))
+    assert np.array_equal(page, png.to_gray(pal[idx]))
