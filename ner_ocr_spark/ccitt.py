@@ -219,10 +219,12 @@ def decode_g4(data: bytes, columns: int, rows: int) -> np.ndarray:
         while a0 < columns:
             mode = _read_mode(br)
             if mode[0] == "EOFB":
-                if cur or y == 0:
-                    # mid-line EOFB: tolerate only as trailing fill
-                    pass
-                break
+                # EOFB belongs strictly AFTER the last row; reading it (or
+                # running out of bits) mid-image means missing data — a
+                # silent white-fill here would be per-row data loss
+                raise CcittError(
+                    f"premature EOFB/end of data at row {y + 1}/{rows}"
+                )
             b1, b2 = _b1_b2(ref, a0, color, columns)
             if mode[0] == "P":
                 a0 = b2

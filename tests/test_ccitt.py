@@ -225,3 +225,26 @@ def test_pdf_indexed_palette_image():
     )
     (page,) = pdfio.extract_page_images(blob.replace(old, new))
     assert np.array_equal(page, png.to_gray(pal[idx]))
+
+
+def test_g4_property_random_roundtrip():
+    """Hypothesis-style sweep: arbitrary bitmap shapes and densities all
+    round-trip; any table/mode asymmetry surfaces here."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 90),
+        h=st.integers(1, 25),
+        density=st.floats(0.0, 1.0),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, density, seed):
+        arr = (
+            np.random.default_rng(seed).random((h, w)) < density
+        ).astype(np.uint8)
+        dec = ccitt.decode_g4(ccitt.encode_g4(arr), w, h)
+        assert np.array_equal(dec, arr)
+
+    check()
