@@ -9,9 +9,10 @@ the reference line via pass / vertical(±3) / horizontal modes, with the
 T.4 white/black terminating + make-up Huffman tables (and the shared
 extended make-ups to 2560) for horizontal-mode run lengths.
 
-Scope: K < 0 (pure Group 4) only — the form PDF writers actually emit for
-/CCITTFaxDecode scans; G3 1-D/mixed (K >= 0) and EncodedByteAlign raise
-the per-row-absorbed PdfError upstream.
+Scope: all three /K regimes — K < 0 (pure Group 4, the form PDF writers
+actually emit for scans), K = 0 (G3 pure 1-D MH, with or without EOL
+markers, /EncodedByteAlign honored), and K > 0 (T.4 mixed 1-D/2-D with
+per-line EOL + tag bits).
 
 Verification: encoder/decoder round-trip on structured + random bitmaps
 (pinned in tests/test_ccitt.py) plus structural table audits
@@ -205,6 +206,67 @@ def _b1_b2(ref: list[int], a0: int, color: int, columns: int):
     return b1, b2
 
 
+def _decode_2d_line(br: _BitReader, ref: list[int], columns: int,
+                    y: int, rows: int) -> list[int]:
+    """One 2-D-coded line -> its changing positions (alternating,
+    starting with the turn-to-black)."""
+    cur: list[int] = []
+    a0, color = -1, 0
+    while a0 < columns:
+        mode = _read_mode(br)
+        if mode[0] == "EOFB":
+            # EOFB belongs strictly AFTER the last row; reading it (or
+            # running out of bits) mid-image means missing data — a
+            # silent white-fill here would be per-row data loss
+            raise CcittError(
+                f"premature EOFB/end of data at row {y + 1}/{rows}"
+            )
+        b1, b2 = _b1_b2(ref, a0, color, columns)
+        if mode[0] == "P":
+            a0 = b2
+        elif mode[0] == "V":
+            a1 = b1 + mode[1]
+            if a1 < 0 or a1 > columns:
+                raise CcittError(f"vertical move out of line at row {y}")
+            cur.append(a1)
+            a0, color = a1, 1 - color
+        else:  # horizontal: two runs, color then opposite
+            start = max(a0, 0)
+            r1 = _read_run(br, _WHITE_DEC if color == 0 else _BLACK_DEC)
+            r2 = _read_run(br, _BLACK_DEC if color == 0 else _WHITE_DEC)
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > columns:
+                raise CcittError(f"horizontal runs overflow row {y}")
+            cur += [a1, a2]
+            a0 = a2
+        if len(cur) >= 2 and cur[-1] == cur[-2] == columns:
+            break
+    return cur
+
+
+def _decode_1d_line(br: _BitReader, columns: int, y: int) -> list[int]:
+    """One MH (1-D) line: alternating white/black run codes from line
+    start, summing exactly to `columns`."""
+    cur: list[int] = []
+    pos, color = 0, 0
+    while pos < columns:
+        run = _read_run(br, _WHITE_DEC if color == 0 else _BLACK_DEC)
+        pos += run
+        if pos > columns:
+            raise CcittError(f"1-D runs overflow row {y}")
+        cur.append(pos)
+        color = 1 - color
+    return cur
+
+
+def _paint_row(out: np.ndarray, y: int, cur: list[int], columns: int) -> None:
+    px = [c for c in cur if c <= columns]
+    for i in range(0, len(px) - 1 if len(px) % 2 else len(px), 2):
+        end = px[i + 1] if i + 1 < len(px) else columns
+        out[y, px[i]:end] = 1
+
+
 def decode_g4(data: bytes, columns: int, rows: int) -> np.ndarray:
     """Group 4 (K < 0) bytes -> (rows, columns) uint8 array of 0/1 where
     1 = BLACK. G4 coding works in the white/black COLOR domain, so
@@ -214,43 +276,66 @@ def decode_g4(data: bytes, columns: int, rows: int) -> np.ndarray:
     out = np.zeros((rows, columns), dtype=np.uint8)
     ref: list[int] = []  # imaginary all-white reference line
     for y in range(rows):
-        cur: list[int] = []
-        a0, color = -1, 0
-        while a0 < columns:
-            mode = _read_mode(br)
-            if mode[0] == "EOFB":
-                # EOFB belongs strictly AFTER the last row; reading it (or
-                # running out of bits) mid-image means missing data — a
-                # silent white-fill here would be per-row data loss
-                raise CcittError(
-                    f"premature EOFB/end of data at row {y + 1}/{rows}"
-                )
-            b1, b2 = _b1_b2(ref, a0, color, columns)
-            if mode[0] == "P":
-                a0 = b2
-            elif mode[0] == "V":
-                a1 = b1 + mode[1]
-                if a1 < 0 or a1 > columns:
-                    raise CcittError(f"vertical move out of line at row {y}")
-                cur.append(a1)
-                a0, color = a1, 1 - color
-            else:  # horizontal: two runs, color then opposite
-                start = max(a0, 0)
-                r1 = _read_run(br, _WHITE_DEC if color == 0 else _BLACK_DEC)
-                r2 = _read_run(br, _BLACK_DEC if color == 0 else _WHITE_DEC)
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > columns:
-                    raise CcittError(f"horizontal runs overflow row {y}")
-                cur += [a1, a2]
-                a0 = a2
-            if len(cur) >= 2 and cur[-1] == cur[-2] == columns:
-                break
-        # paint: transitions alternate starting white
-        px = [c for c in cur if c <= columns]
-        for i in range(0, len(px) - 1 if len(px) % 2 else len(px), 2):
-            end = px[i + 1] if i + 1 < len(px) else columns
-            out[y, px[i]:end] = 1
+        cur = _decode_2d_line(br, ref, columns, y, rows)
+        _paint_row(out, y, cur, columns)
+        ref = [c for c in cur if c < columns]
+        if br.exhausted() and y < rows - 1:
+            raise CcittError(f"stream exhausted at row {y + 1}/{rows}")
+    return out
+
+
+_EOL = "000000000001"
+
+
+def _consume_eols(br: _BitReader) -> bool:
+    """Skip fill zeros + EOL marker(s). No valid T.4 run/mode code has 9+
+    leading zeros, so an 11-zero window can only be fill/EOL."""
+    seen = False
+    while br.peek(11) == "0" * 11:
+        while br.peek(1) == "0":
+            if br.exhausted():
+                return seen
+            br.skip(1)
+        br.skip(1)  # the EOL's terminating 1
+        seen = True
+    return seen
+
+
+def decode_g3(
+    data: bytes, columns: int, rows: int, k: int = 0,
+    byte_align: bool = False,
+) -> np.ndarray:
+    """Group 3 bytes -> (rows, columns) uint8, 1 = black.
+
+    k = 0: pure 1-D MH lines (the /CCITTFaxDecode default). EOL markers
+    and fill are consumed when present (PDF streams with /EndOfLine false
+    omit them); byte_align honors /EncodedByteAlign (each line starts on
+    a byte boundary).
+    k > 0: mixed mode — every line is preceded by EOL + a 1-bit tag
+    (1 = 1-D, 0 = 2-D against the previous line), per T.4 §4.2.1."""
+    br = _BitReader(data)
+    out = np.zeros((rows, columns), dtype=np.uint8)
+    ref: list[int] = []
+    for y in range(rows):
+        if byte_align:
+            br.pos = (br.pos + 7) // 8 * 8
+        saw_eol = _consume_eols(br)
+        if k > 0:
+            if not saw_eol:
+                # T.4 mixed mode carries the tag with each line's EOL; a
+                # missing EOL means the stream is out of subset
+                raise CcittError(f"missing EOL before mixed-mode row {y}")
+            tag = br.peek(1)
+            if tag == "":
+                raise CcittError(f"stream exhausted at row {y}/{rows}")
+            br.skip(1)
+            if tag == "1":
+                cur = _decode_1d_line(br, columns, y)
+            else:
+                cur = _decode_2d_line(br, ref, columns, y, rows)
+        else:
+            cur = _decode_1d_line(br, columns, y)
+        _paint_row(out, y, cur, columns)
         ref = [c for c in cur if c < columns]
         if br.exhausted() and y < rows - 1:
             raise CcittError(f"stream exhausted at row {y + 1}/{rows}")
@@ -280,44 +365,103 @@ def _emit_run(bits: list[str], run: int, color: int) -> None:
     bits.append(table[run])
 
 
-def encode_g4(bits_in: np.ndarray) -> bytes:
-    """(rows, columns) 0/1 array (1 = black) -> Group 4 bytes + EOFB.
-    The writer twin for self-verifying fixtures."""
+def _encode_2d_line(out: list[str], cur: list[int], ref: list[int],
+                    columns: int) -> None:
     import bisect
 
-    arr = (np.asarray(bits_in) != 0).astype(np.uint8)
-    rows, columns = arr.shape
-    out: list[str] = []
-    ref: list[int] = []
-    for y in range(rows):
-        cur = _changes(arr[y])
-        a0, color = -1, 0
-        while True:
-            i = bisect.bisect_right(cur, a0)
-            a1 = cur[i] if i < len(cur) else columns
-            b1, b2 = _b1_b2(ref, a0, color, columns)
-            if b2 < a1:
-                out.append(_MODE_PASS)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                out.append(_MODE_V[a1 - b1])
-                a0, color = a1, 1 - color
-                if a0 >= columns:
-                    break
-            else:
-                j = bisect.bisect_right(cur, a1)
-                a2 = cur[j] if j < len(cur) else columns
-                start = max(a0, 0)
-                out.append(_MODE_HORIZ)
-                _emit_run(out, a1 - start, color)
-                _emit_run(out, a2 - a1, 1 - color)
-                a0 = a2
-                if a0 >= columns:
-                    break
-        ref = cur
-    out.append(EOFB)
+    a0, color = -1, 0
+    while True:
+        i = bisect.bisect_right(cur, a0)
+        a1 = cur[i] if i < len(cur) else columns
+        b1, b2 = _b1_b2(ref, a0, color, columns)
+        if b2 < a1:
+            out.append(_MODE_PASS)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            out.append(_MODE_V[a1 - b1])
+            a0, color = a1, 1 - color
+            if a0 >= columns:
+                return
+        else:
+            j = bisect.bisect_right(cur, a1)
+            a2 = cur[j] if j < len(cur) else columns
+            start = max(a0, 0)
+            out.append(_MODE_HORIZ)
+            _emit_run(out, a1 - start, color)
+            _emit_run(out, a2 - a1, 1 - color)
+            a0 = a2
+            if a0 >= columns:
+                return
+
+
+def _encode_1d_line(out: list[str], cur: list[int], columns: int) -> None:
+    prev, color = 0, 0
+    for c in cur + [columns]:
+        _emit_run(out, c - prev, color)
+        prev, color = c, 1 - color
+
+
+def _pack_bits(out: list[str]) -> bytes:
     s = "".join(out)
     s += "0" * (-len(s) % 8)
     return np.packbits(
         np.frombuffer(s.encode("ascii"), dtype=np.uint8) - ord("0")
     ).tobytes()
+
+
+def encode_g4(bits_in: np.ndarray) -> bytes:
+    """(rows, columns) 0/1 array (1 = black) -> Group 4 bytes + EOFB.
+    The writer twin for self-verifying fixtures."""
+    arr = (np.asarray(bits_in) != 0).astype(np.uint8)
+    rows, columns = arr.shape
+    out: list[str] = []
+    ref: list[int] = []
+    for _y in range(rows):
+        cur = _changes(arr[_y])
+        _encode_2d_line(out, cur, ref, columns)
+        ref = cur
+    out.append(EOFB)
+    return _pack_bits(out)
+
+
+def encode_g3(
+    bits_in: np.ndarray, k: int = 0, eol: bool = True,
+    byte_align: bool = False,
+) -> bytes:
+    """(rows, columns) 0/1 array (1 = black) -> Group 3 bytes.
+
+    k = 0: pure MH 1-D lines, each preceded by EOL when eol=True (PDF
+    /EndOfLine) and zero-padded to byte boundaries when byte_align=True
+    (/EncodedByteAlign); k > 0: T.4 mixed mode — EOL + tag bit per line,
+    a 1-D line every k-th row and 2-D lines between (EOLs mandatory)."""
+    arr = (np.asarray(bits_in) != 0).astype(np.uint8)
+    rows, columns = arr.shape
+    out: list[str] = []
+    ref: list[int] = []
+    nbits = 0
+
+    def emit(pieces: list[str]) -> None:
+        nonlocal nbits
+        out.extend(pieces)
+        nbits += sum(len(p) for p in pieces)
+
+    for y in range(rows):
+        if byte_align and nbits % 8:
+            emit(["0" * (8 - nbits % 8)])
+        cur = _changes(arr[y])
+        line: list[str] = []
+        if k > 0:
+            one_d = (y % k) == 0
+            line.append(_EOL)
+            line.append("1" if one_d else "0")
+            if one_d:
+                _encode_1d_line(line, cur, columns)
+            else:
+                _encode_2d_line(line, cur, ref, columns)
+        else:
+            if eol:
+                line.append(_EOL)
+            _encode_1d_line(line, cur, columns)
+        emit(line)
+        ref = cur
+    return _pack_bits(out)

@@ -558,18 +558,22 @@ def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
         if isinstance(parms, list):
             parms = _deref(objs, parms[0]) if parms else {}
         k = _deref(objs, parms.get("K", 0))
-        if not isinstance(k, int) or k >= 0:
-            raise PdfError(f"CCITT K={k} unsupported (Group 4, K<0, only)")
-        if _deref(objs, parms.get("EncodedByteAlign", False)):
-            raise PdfError("CCITT EncodedByteAlign unsupported")
+        if not isinstance(k, int):
+            raise PdfError(f"CCITT K={k!r} is not an integer")
+        byte_align = bool(_deref(objs, parms.get("EncodedByteAlign", False)))
+        if byte_align and k != 0:
+            raise PdfError("CCITT EncodedByteAlign supported for K=0 only")
         from ner_ocr_spark import ccitt
 
+        cols = _deref(objs, parms.get("Columns", 1728))
         try:
-            bits = ccitt.decode_g4(
-                bytes(stream), _deref(objs, parms.get("Columns", 1728)), h
-            )
+            if k < 0:
+                bits = ccitt.decode_g4(bytes(stream), cols, h)
+            else:
+                bits = ccitt.decode_g3(bytes(stream), cols, h, k=k,
+                                       byte_align=byte_align)
         except ccitt.CcittError as e:
-            raise PdfError(f"bad CCITT G4 stream: {e}") from e
+            raise PdfError(f"bad CCITT stream (K={k}): {e}") from e
         decode = _deref(objs, image_dict.get("Decode"))
         # color domain: 1 = black ink -> gray 0
         gray = np.where(bits[:, :w] != 0, np.uint8(0), np.uint8(255))
@@ -874,7 +878,7 @@ def encode_image_pdf(
     objstm: bool = False,
     predictor: int | None = None,
     rle: bool = False,
-    ccitt: bool = False,
+    ccitt: bool | str | int = False,
 ) -> bytes:
     """Write a PDF with one image per page. Each element of `pages` is a
     2-D uint8 numpy array (embedded as FlateDecode /DeviceGray — or
@@ -965,10 +969,20 @@ def encode_image_pdf(
             if ccitt:
                 from ner_ocr_spark import ccitt as _ccitt
 
-                data = _ccitt.encode_g4((~item).astype(np.uint8))
+                ink = (~item).astype(np.uint8)
+                # ccitt=True/"g4" -> Group 4 (K -1); "g3" -> K 0 pure 1-D;
+                # a positive int -> T.4 mixed mode with that K
+                if ccitt is True or ccitt == "g4":
+                    data, kv = _ccitt.encode_g4(ink), -1
+                elif ccitt == "g3":
+                    data, kv = _ccitt.encode_g3(ink, k=0), 0
+                elif isinstance(ccitt, int) and ccitt > 0:
+                    data, kv = _ccitt.encode_g3(ink, k=ccitt), ccitt
+                else:
+                    raise PdfError(f"ccitt mode {ccitt!r} unsupported")
                 filt = b"/CCITTFaxDecode"
-                parms = (b"/DecodeParms << /K -1 /Columns %d /Rows %d >> "
-                         % (w, h))
+                parms = (b"/DecodeParms << /K %d /Columns %d /Rows %d >> "
+                         % (kv, w, h))
                 cs, bpc = b"/DeviceGray", 1
             else:
                 data = zlib.compress(np.packbits(item, axis=1).tobytes(), 6)

@@ -248,3 +248,75 @@ def test_g4_property_random_roundtrip():
         assert np.array_equal(dec, arr)
 
     check()
+
+
+# -- Group 3 (K = 0 pure 1-D and K > 0 mixed) --------------------------------
+
+
+@pytest.mark.parametrize("eol", [True, False])
+def test_g3_1d_roundtrip(eol):
+    """K=0 MH lines round-trip with and without EOL markers (PDF
+    /EndOfLine both ways)."""
+    rng = _rng()
+    for arr in (
+        (rng.random((17, 73)) < 0.3).astype(np.uint8),
+        np.zeros((4, 64), np.uint8),
+        np.ones((4, 64), np.uint8),
+        np.eye(9, 40, dtype=np.uint8),
+    ):
+        enc = ccitt.encode_g3(arr, k=0, eol=eol)
+        dec = ccitt.decode_g3(enc, arr.shape[1], arr.shape[0], k=0)
+        assert np.array_equal(dec, arr)
+
+
+def test_g3_mixed_roundtrip():
+    """K>0 mixed mode: EOL + tag per line, 1-D every k-th line, 2-D
+    between — the common fax profile."""
+    rng = _rng()
+    for k in (1, 2, 4):
+        arr = (rng.random((19, 80)) < 0.35).astype(np.uint8)
+        enc = ccitt.encode_g3(arr, k=k)
+        dec = ccitt.decode_g3(enc, 80, 19, k=k)
+        assert np.array_equal(dec, arr), f"k={k}"
+
+
+def test_g3_property_random_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 70), h=st.integers(1, 15),
+        density=st.floats(0.0, 1.0), seed=st.integers(0, 2**31),
+        k=st.sampled_from([0, 1, 3]), eol=st.booleans(),
+    )
+    def check(w, h, density, seed, k, eol):
+        arr = (
+            np.random.default_rng(seed).random((h, w)) < density
+        ).astype(np.uint8)
+        enc = ccitt.encode_g3(arr, k=k, eol=eol or k > 0)
+        dec = ccitt.decode_g3(enc, w, h, k=k)
+        assert np.array_equal(dec, arr)
+
+    check()
+
+
+@pytest.mark.parametrize("mode,marker", [
+    ("g3", b"/K 0"), (2, b"/K 2"), ("g4", b"/K -1"),
+])
+def test_pdf_ccitt_k_modes_roundtrip(mode, marker):
+    ink = (_rng().random((22, 66)) < 0.3)
+    blob = pdfio.encode_image_pdf([~ink], ccitt=mode)
+    assert marker in blob
+    (page,) = pdfio.extract_page_images(blob)
+    assert np.array_equal(page == 0, ink)
+
+
+@pytest.mark.parametrize("eol", [True, False])
+def test_g3_byte_align_roundtrip(eol):
+    """/EncodedByteAlign: every line starts on a byte boundary; padding
+    zeros (and fill-before-EOL) must be transparent to the decoder."""
+    arr = (_rng().random((13, 51)) < 0.4).astype(np.uint8)
+    enc = ccitt.encode_g3(arr, k=0, eol=eol, byte_align=True)
+    dec = ccitt.decode_g3(enc, 51, 13, k=0, byte_align=True)
+    assert np.array_equal(dec, arr)
