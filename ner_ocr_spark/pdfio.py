@@ -689,8 +689,16 @@ def _draw_ops(objs, page: dict) -> list[tuple[str, tuple]]:
     nums: list[float] = []
     last_name = None
     out: list[tuple[str, tuple]] = []
+    skip_until = -1  # inline-image (BI..ID..EI) binary: not token soup
     for m in _CS_TOKEN.finditer(data):
+        if m.start() < skip_until:
+            continue
         name, num, op = m.group(1), m.group(2), m.group(3)
+        if op == b"BI":
+            end = data.find(b"EI", m.end())
+            skip_until = (end + 2) if end >= 0 else len(data)
+            nums = []
+            continue
         if num is not None:
             nums.append(float(num))
             continue

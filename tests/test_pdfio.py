@@ -394,3 +394,34 @@ def test_strip_page_end_to_end(spark):
         + [("text", "CLOSING SPAN", None)]
     )
     assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == want
+
+
+def test_strip_page_inside_objstm_pdf():
+    """Mode composition: multi-strip page + ObjStm/xref-stream container."""
+    rng = np.random.default_rng(9)
+    full = rng.integers(0, 256, (30, 40), dtype=np.uint8)
+    blob = pdfio.encode_image_pdf([[full[:11], full[11:]]], objstm=True)
+    assert b"/ObjStm" in blob
+    (page,) = pdfio.extract_page_images(blob)
+    assert np.array_equal(page, full)
+
+
+def test_inline_image_binary_does_not_fake_draw_ops():
+    """BI..ID..EI inline-image binary in a content stream must not be
+    tokenized as draw operators (phantom cm/Do from compressed bytes)."""
+    g = np.full((6, 6), 99, np.uint8)
+    blob = pdfio.encode_image_pdf([g])
+    # splice an inline image whose binary payload SPELLS a draw op
+    evil = b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x00/Im0 Do\xff EI "
+    old = b"q 6 0 0 6 0 0 cm /Im0 Do Q"
+    new = evil + old
+    content = old
+    assert content in blob
+    tampered = blob.replace(
+        b"<< /Length %d >>\nstream\n%s" % (len(content), content),
+        b"<< /Length %d >>\nstream\n%s" % (len(new), new),
+    )
+    assert tampered != blob
+    (page,) = pdfio.extract_page_images(tampered)
+    # exactly one real draw -> native bitmap returned exactly
+    assert np.array_equal(page, g)
