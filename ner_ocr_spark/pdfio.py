@@ -262,9 +262,10 @@ def _parse_objects(blob: bytes) -> dict[int, tuple[object, bytes | None]]:
                 end = blob.find(b"endstream", p)
                 if end >= 0:
                     covered_until = max(covered_until, end)
-        if num not in pos_of or m.start() >= pos_of[num]:
-            raw[num] = (value, stream_start)
-            pos_of[num] = m.start()
+        # finditer yields ascending positions, so assignment alone IS
+        # later-definition-wins; pos_of feeds the ObjStm pass-2 compare
+        raw[num] = (value, stream_start)
+        pos_of[num] = m.start()
 
     def resolve(v):
         if isinstance(v, Ref):
@@ -380,13 +381,28 @@ def _trailer_root(blob: bytes, objs) -> int:
         except PdfError as e:
             if "encrypted" in str(e):
                 raise
-    for num, (value, _) in sorted(objs.items(), reverse=True):
+    # PDF 1.5+: the LAST startxref points at the newest cross-reference
+    # STREAM — resolve through it first (object-number order is not
+    # update order when an incremental writer reuses freed numbers)
+    xref_candidates: list[tuple[int, dict]] = []
+    for sm in re.finditer(rb"startxref\s+(\d+)", blob):
+        om = _OBJ_RE.match(blob, int(sm.group(1)))
+        if om is None:
+            continue
+        value = objs.get(int(om.group(1)), (None, None))[0]
         if isinstance(value, dict) and value.get("Type") == "XRef":
-            if "Encrypt" in value:
-                raise PdfError("encrypted PDF unsupported")
-            root = value.get("Root")
-            if isinstance(root, Ref):
-                return root.num
+            xref_candidates.append((sm.start(), value))
+    if not xref_candidates:
+        xref_candidates = [
+            (num, value) for num, (value, _) in sorted(objs.items())
+            if isinstance(value, dict) and value.get("Type") == "XRef"
+        ]
+    for _, value in sorted(xref_candidates, key=lambda t: -t[0]):
+        if "Encrypt" in value:
+            raise PdfError("encrypted PDF unsupported")
+        root = value.get("Root")
+        if isinstance(root, Ref):
+            return root.num
     for num, (value, _) in sorted(objs.items()):
         if isinstance(value, dict) and value.get("Type") == "Catalog":
             return num
@@ -566,6 +582,10 @@ def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
         from ner_ocr_spark import ccitt
 
         cols = _deref(objs, parms.get("Columns", 1728))
+        if cols < w:
+            raise PdfError(
+                f"CCITT /Columns {cols} < /Width {w} — truncated scanlines"
+            )
         try:
             if k < 0:
                 bits = ccitt.decode_g4(bytes(stream), cols, h)
@@ -574,12 +594,16 @@ def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
                                        byte_align=byte_align)
         except ccitt.CcittError as e:
             raise PdfError(f"bad CCITT stream (K={k}): {e}") from e
-        decode = _deref(objs, image_dict.get("Decode"))
-        # color domain: 1 = black ink -> gray 0
-        gray = np.where(bits[:, :w] != 0, np.uint8(0), np.uint8(255))
-        if decode and list(decode[:2]) == [1, 0]:
-            gray = 255 - gray
-        return gray
+        # spec sample chain: CCITT color -> sample bit (/BlackIs1 names
+        # which bit is black; default false = black is 0) -> /Decode
+        # [d0 d1] maps sample to the gray range
+        black_is_1 = bool(_deref(objs, parms.get("BlackIs1", False)))
+        black = bits[:, :w] != 0
+        sample = black if black_is_1 else ~black
+        decode = _deref(objs, image_dict.get("Decode")) or [0, 1]
+        d0, d1 = float(decode[0]), float(decode[1])
+        gray = np.where(sample, d1, d0) * 255.0
+        return np.clip(np.rint(gray), 0, 255).astype(np.uint8)
     if filters in ([], ["FlateDecode"], ["RunLengthDecode"]):
         parms = _deref(objs, image_dict.get("DecodeParms")) or {}
         if isinstance(parms, list):
@@ -669,11 +693,46 @@ _CS_TOKEN = re.compile(
 )
 
 
+def _strip_strings(data: bytes) -> bytes:
+    """Blank out (...) literal and <...> hex string operands
+    (length-preserving, so BI..EI byte positions stay valid): a searchable
+    scan's text layer must not leak `Q`/`cm`/`Do` lookalikes into the
+    operator stream and corrupt the CTM state."""
+    out = bytearray(data)
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x28:  # ( — balanced nesting + backslash escapes
+            depth, j = 1, i + 1
+            while j < n and depth:
+                b = data[j]
+                if b == 0x5C:
+                    j += 2
+                    continue
+                if b == 0x28:
+                    depth += 1
+                elif b == 0x29:
+                    depth -= 1
+                j += 1
+            out[i:j] = b" " * (j - i)
+            i = j
+        elif c == 0x3C and data[i + 1 : i + 2] == b"<":  # << dict delim
+            i += 2
+        elif c == 0x3C:  # hex string
+            j = data.find(b">", i + 1)
+            j = n if j < 0 else j + 1
+            out[i:j] = b" " * (j - i)
+            i = j
+        else:
+            i += 1
+    return bytes(out)
+
+
 def _draw_ops(objs, page: dict) -> list[tuple[str, tuple]]:
     """[(xobject_name, CTM)] for each `Do` in content-stream order, with
     the CTM tracked through q/Q/cm — the placement a viewer would use.
     Empty on any parse trouble (callers fall back to name order)."""
-    data = _content_bytes(objs, page)
+    data = _strip_strings(_content_bytes(objs, page))
     ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
     def mul(m1, m2):  # apply m1 then m2
@@ -727,7 +786,9 @@ def _compose_page(objs, images: dict, draws: list, media) -> np.ndarray:
     placed = []
     for name, (a, b, c, d, e, f) in draws:
         if abs(b) > 1e-9 or abs(c) > 1e-9:
-            raise PdfError("rotated/skewed image placement unsupported")
+            # rotated/skewed stamp or watermark: skip it rather than fail
+            # the whole page — the axis-aligned scan strips still composite
+            continue
         if abs(a) < 1e-9 or abs(d) < 1e-9:
             continue  # zero-size draw paints nothing
         value, stream = images[name]
@@ -800,7 +861,17 @@ def extract_page_images(blob: bytes) -> list[np.ndarray]:
                 "outside the extractor subset; plug a rasterizer "
                 "(pypdfium2) via rasterizer="
             )
-        draws = [(n, m) for n, m in _draw_ops(objs, page) if n in images]
+        all_draws = [(n, m) for n, m in _draw_ops(objs, page) if n in images]
+        # compositing handles axis-aligned placements; rotated/skewed
+        # stamps are dropped from the composite (and a page with ONLY
+        # such draws falls back to single-image decode below)
+        draws = [
+            (n, m) for n, m in all_draws
+            if abs(m[1]) <= 1e-9 and abs(m[2]) <= 1e-9
+            and abs(m[0]) > 1e-9 and abs(m[3]) > 1e-9
+        ]
+        if not draws and all_draws:
+            draws = all_draws[:1]
         if len(draws) > 1:
             # multi-strip / multi-draw page: composite in content order
             # (later over earlier), placed by each draw's CTM

@@ -33,8 +33,10 @@ def _triad(_: int) -> float:
         np.multiply(c, 3.0, out=a)
         np.add(a, b, out=a)
         best = min(best, time.monotonic() - t0)
-    # triad moves 3 arrays (read b, read c, write a + RFO ~ counted as 3)
-    return 3 * N * 8 / best / 1e9  # GB/s for this worker
+    # numpy cannot fuse mul+add, so this is TWO passes moving 5 arrays:
+    # pass 1 reads c + writes a, pass 2 reads a + reads b + writes a.
+    # Count 5, not the fused triad's 3 — otherwise GB/s underreports ~40%.
+    return 5 * N * 8 / best / 1e9  # GB/s for this worker
 
 
 def run(workers: int) -> float:

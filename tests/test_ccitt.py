@@ -320,3 +320,92 @@ def test_g3_byte_align_roundtrip(eol):
     enc = ccitt.encode_g3(arr, k=0, eol=eol, byte_align=True)
     dec = ccitt.decode_g3(enc, 51, 13, k=0, byte_align=True)
     assert np.array_equal(dec, arr)
+
+
+# -- review-pass regressions -------------------------------------------------
+
+
+@pytest.mark.parametrize("black_is_1,decode,ink_gray", [
+    (False, None, 0),        # default chain: black -> sample 0 -> 0.0
+    (False, b"[1 0]", 255),  # inverted Decode
+    (True, b"[1 0]", 0),     # TIFF-converter pairing: both flips cancel
+    (True, None, 255),       # BlackIs1 alone: black -> sample 1 -> 1.0
+])
+def test_ccitt_blackis1_decode_chain(black_is_1, decode, ink_gray):
+    """The full spec sample chain: CCITT color -> /BlackIs1 sample bit ->
+    /Decode gray map. All four combinations, incl. the TIFF->PDF pairing
+    (BlackIs1 true + Decode [1 0]) the old code silently inverted."""
+    ink = (_rng().random((12, 30)) < 0.4)
+    blob = pdfio.encode_image_pdf([~ink], ccitt=True)
+    old = b"/DecodeParms << /K -1"
+    new = old
+    if black_is_1:
+        new = b"/DecodeParms << /BlackIs1 true /K -1"
+    tampered = blob.replace(old, new)
+    if decode:
+        tampered = tampered.replace(
+            b"/Filter /CCITTFaxDecode", b"/Decode %s /Filter /CCITTFaxDecode"
+            % decode,
+        )
+    (page,) = pdfio.extract_page_images(tampered)
+    assert np.array_equal(page == ink_gray, ink)
+    assert np.array_equal(page == (255 - ink_gray), ~ink)
+
+
+def test_ccitt_columns_narrower_than_width_rejected():
+    ink = (_rng().random((8, 40)) < 0.3)
+    blob = pdfio.encode_image_pdf([~ink], ccitt=True)
+    tampered = blob.replace(b"/Columns 40", b"/Columns 24")
+    with pytest.raises(pdfio.PdfError, match="Columns"):
+        pdfio.extract_page_images(tampered)
+
+
+def test_text_layer_strings_do_not_corrupt_ctm():
+    """Searchable-scan shape: a text layer whose STRING operands contain
+    `Q`, numbers + `cm`, and `/Im0 Do` lookalikes must not perturb the
+    compositor's CTM state (strings are blanked before tokenizing)."""
+    rng = np.random.default_rng(3)
+    full = rng.integers(0, 256, (40, 50), dtype=np.uint8)
+    blob = pdfio.encode_image_pdf([[full[:20], full[20:]]])
+    # locate the strip content stream and prepend a hostile text layer
+    m = None
+    import re as _re
+    for m in _re.finditer(rb"stream\n(q 50[^e]*?)\nendstream", blob):
+        pass
+    assert m, "strip content stream not found"
+    old_content = m.group(1)
+    text_layer = (
+        b"BT /F1 9 Tf (see Q below) Tj "
+        b"(1 0 0 1 99 99 cm) Tj <2f496d3020446f> Tj ET "
+    )
+    new_content = text_layer + old_content
+    tampered = blob.replace(
+        b"<< /Length %d >>\nstream\n%s" % (len(old_content), old_content),
+        b"<< /Length %d >>\nstream\n%s" % (len(new_content), new_content),
+    )
+    assert tampered != blob
+    (page,) = pdfio.extract_page_images(tampered)
+    assert np.array_equal(page, full)
+
+
+def test_rotated_stamp_skipped_not_fatal():
+    """A rotated watermark draw alongside axis-aligned scan strips must
+    not error the page — the strips still composite."""
+    rng = np.random.default_rng(4)
+    full = rng.integers(0, 256, (30, 44), dtype=np.uint8)
+    blob = pdfio.encode_image_pdf([[full[:15], full[15:]]])
+    import re as _re
+    m = None
+    for m in _re.finditer(rb"stream\n(q 44[^e]*?)\nendstream", blob):
+        pass
+    assert m
+    old_content = m.group(1)
+    # rotated re-draw of strip 0 (45 degrees): b,c nonzero
+    new_content = old_content + b" q 2 2 -2 2 5 5 cm /Im0 Do Q"
+    tampered = blob.replace(
+        b"<< /Length %d >>\nstream\n%s" % (len(old_content), old_content),
+        b"<< /Length %d >>\nstream\n%s" % (len(new_content), new_content),
+    )
+    assert tampered != blob
+    (page,) = pdfio.extract_page_images(tampered)
+    assert np.array_equal(page, full)
