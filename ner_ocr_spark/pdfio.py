@@ -417,16 +417,25 @@ def _deref(objs, v):
     return v
 
 
-def _walk_pages(objs, node, acc: list[dict]) -> None:
+_INHERITABLE = ("Rotate", "MediaBox", "Resources")
+
+
+def _walk_pages(objs, node, acc: list[dict], inherited: dict | None = None) -> None:
     node = _deref(objs, node)
     if not isinstance(node, dict):
         raise PdfError("page-tree node is not a dictionary")
+    inherited = dict(inherited or {})
+    for key in _INHERITABLE:
+        if key in node:
+            inherited[key] = node[key]
     t = node.get("Type")
     if t == "Pages" or (t is None and "Kids" in node):
         for kid in _deref(objs, node.get("Kids", [])):
-            _walk_pages(objs, kid, acc)
+            _walk_pages(objs, kid, acc, inherited)
     elif t == "Page":
-        acc.append(node)
+        merged = dict(inherited)
+        merged.update(node)
+        acc.append(merged)
     else:
         raise PdfError(f"unexpected page-tree node /Type /{t}")
 
@@ -449,10 +458,26 @@ def _predictor_undo(
     one decoder covers all six values) — shared with png._unfilter."""
     if predictor == 1:
         return data
-    if bpc != 8:
-        raise PdfError(f"predictor with {bpc}-bit samples unsupported (8 only)")
     if colors < 1:
         raise PdfError("predictor /Colors must be >= 1")
+    if 10 <= predictor <= 15 and bpc in (1, 2, 4):
+        # sub-byte PNG predictors filter whole BYTES at stride 1 (PNG
+        # spec rule, same as png.py's sub-byte depths)
+        rowlen = (columns * colors * bpc + 7) // 8
+        stride = rowlen + 1
+        h = len(data) // stride
+        if h == 0:
+            raise PdfError("predictor stream shorter than one row")
+        raw = np.frombuffer(data[: h * stride], dtype=np.uint8).reshape(
+            h, stride
+        )
+        try:
+            return png._unfilter(raw, h, rowlen, 1).tobytes()
+        except ValueError as e:
+            raise PdfError(f"bad PNG-predictor row: {e}") from e
+    if bpc != 8:
+        raise PdfError(f"predictor {predictor} with {bpc}-bit samples "
+                       "unsupported")
     rowlen = columns * colors
     if predictor == 2:
         h = len(data) // rowlen
@@ -883,18 +908,28 @@ def extract_page_images(blob: bytes) -> list[np.ndarray]:
                 ys = [v for _, (a, b, c, d, e, f) in draws
                       for v in (f, f + d)]
                 media = [min(xs), min(ys), max(xs), max(ys)]
-            out.append(_compose_page(
+            page_img = _compose_page(
                 objs, images, draws, [_deref(objs, v) for v in media]
-            ))
-            continue
-        # single draw (or undecodable content stream): that image IS the
-        # page at its native resolution — returned exactly, no resample.
-        # Name-sorted order is the fallback when no draw parses.
-        chosen = draws[0][0] if draws else sorted(images)[0]
-        value, stream = images[chosen]
-        if stream is None:
-            raise PdfError(f"page {idx}: image XObject has no stream")
-        out.append(_decode_image_xobject(objs, value, stream))
+            )
+        else:
+            # single draw (or undecodable content stream): that image IS
+            # the page at its native resolution — returned exactly, no
+            # resample. Name-sorted order is the fallback when no draw
+            # parses.
+            chosen = draws[0][0] if draws else sorted(images)[0]
+            value, stream = images[chosen]
+            if stream is None:
+                raise PdfError(f"page {idx}: image XObject has no stream")
+            page_img = _decode_image_xobject(objs, value, stream)
+        # /Rotate (inherited): clockwise display rotation in 90° steps —
+        # scanners emit landscape pages this way and a viewer (or
+        # pypdfium2, the reference's rasterizer) shows them upright
+        rot = _deref(objs, page.get("Rotate", 0)) or 0
+        if not isinstance(rot, int) or rot % 90:
+            raise PdfError(f"page {idx}: bad /Rotate {rot!r}")
+        if rot % 360:
+            page_img = np.rot90(page_img, -((rot // 90) % 4)).copy()
+        out.append(page_img)
     return out
 
 

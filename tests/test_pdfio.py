@@ -425,3 +425,62 @@ def test_inline_image_binary_does_not_fake_draw_ops():
     (page,) = pdfio.extract_page_images(tampered)
     # exactly one real draw -> native bitmap returned exactly
     assert np.array_equal(page, g)
+
+
+@pytest.mark.parametrize("rot,k", [(90, -1), (180, 2), (270, 1), (-90, 1)])
+def test_page_rotate_attribute(rot, k):
+    """/Rotate (clockwise display rotation): scanners emit landscape pages
+    this way; the extracted bitmap must come out upright, as the
+    reference's pypdfium2 renders it."""
+    g = np.arange(6 * 9, dtype=np.uint8).reshape(6, 9)
+    blob = pdfio.encode_image_pdf([g])
+    tampered = blob.replace(
+        b"/Type /Page /Parent", b"/Type /Page /Rotate %d /Parent" % rot
+    )
+    assert tampered != blob
+    (page,) = pdfio.extract_page_images(tampered)
+    assert np.array_equal(page, np.rot90(g, k))
+
+
+def test_page_rotate_inherited_from_pages_node():
+    """/Rotate set on the /Pages node applies to every kid (inheritable
+    page attribute)."""
+    g = np.arange(5 * 8, dtype=np.uint8).reshape(5, 8)
+    blob = pdfio.encode_image_pdf([g, g])
+    tampered = blob.replace(
+        b"/Type /Pages /Kids", b"/Type /Pages /Rotate 180 /Kids"
+    )
+    assert tampered != blob
+    pages = pdfio.extract_page_images(tampered)
+    assert len(pages) == 2
+    for p in pages:
+        assert np.array_equal(p, np.rot90(g, 2))
+
+
+def test_sub_byte_png_predictor_bilevel():
+    """PNG predictor over 1-bit packed rows (Flate+Up on bilevel scans):
+    sub-byte depths filter whole bytes at stride 1."""
+    import zlib
+
+    white = np.random.default_rng(8).random((14, 37)) < 0.5
+    packed = np.packbits(white, axis=1)
+    h, rowbytes = packed.shape
+    # forward Up filter on the packed bytes
+    rows = []
+    prev = np.zeros(rowbytes, np.int16)
+    for y in range(h):
+        r = packed[y].astype(np.int16)
+        rows.append(bytes([2]) + ((r - prev) & 0xFF).astype(np.uint8).tobytes())
+        prev = r
+    data = zlib.compress(b"".join(rows))
+    blob = pdfio.encode_image_pdf([white])  # 1-bit flate fixture to edit
+    old = blob[blob.index(b"<< /Type /XObject"):blob.index(b"endstream")]
+    new = (
+        b"<< /Type /XObject /Subtype /Image /Width 37 /Height 14 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 37 /Colors 1 "
+        b"/BitsPerComponent 1 >> /Length %d >>\nstream\n%s\n"
+        % (len(data), data)
+    )
+    (page,) = pdfio.extract_page_images(blob.replace(old, new))
+    assert np.array_equal(page, np.where(white, 255, 0).astype(np.uint8))
