@@ -484,3 +484,29 @@ def test_sub_byte_png_predictor_bilevel():
     )
     (page,) = pdfio.extract_page_images(blob.replace(old, new))
     assert np.array_equal(page, np.where(white, 255, 0).astype(np.uint8))
+
+
+def test_modern_writer_torture_document_end_to_end(spark):
+    """One document exercising every round-4 shape at once: ObjStm +
+    xref-stream container, a PNG-predictor Flate page, a CCITT G4 bilevel
+    page, and a multi-strip page — full pipeline, span equality."""
+    g0 = _page_gray(PAGE_LINES[0])
+    g1 = _page_gray(PAGE_LINES[1]) > 127          # bilevel -> CCITT G4
+    g2 = _page_gray(PAGE_LINES[2])
+    h = g2.shape[0]
+    strips = [g2[: h // 3], g2[h // 3 : 2 * h // 3], g2[2 * h // 3 :]]
+    blob = pdfio.encode_image_pdf(
+        [g0, g1, strips], objstm=True, predictor=15, ccitt=True
+    )
+    for marker in (b"/ObjStm", b"/Type /XRef", b"/Predictor 15",
+                   b"/CCITTFaxDecode"):
+        assert marker in blob, marker
+    out = pipeline.run(spark, _docs(spark), blob_resolver=_resolver_for(blob))
+    spans = {r["doc_id"]: r["spans"] for r in out.collect()}["p0"]
+    want = (
+        [("text", "INTRO TEXT SPAN", None)]
+        + [("pdf", normalize_text(line), "store/scan.pdf")
+           for page in PAGE_LINES for line in page]
+        + [("text", "CLOSING SPAN", None)]
+    )
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == want
