@@ -942,15 +942,24 @@ def q_retention(spark, sf):  # weekly retention cohorts
     """Cohort = epoch-aligned week of the user's first event; matrix cell
     (cohort, week_offset) counts distinct users active that many weeks
     later. Epoch-aligned weeks (floor(epoch/604800)) sidestep engine
-    week-truncation conventions."""
+    week-truncation conventions.
+
+    Plan: TWO shuffles. One groupBy(user_id) yields (cohort = min week,
+    collect_set of active weeks) — per-user dedup rides the aggregate, so
+    after explode each (user, week) appears exactly once and the matrix
+    cell is a plain count, no count_distinct expand. The round-3 form
+    (distinct + cohort join + count_distinct) ran 5 exchanges +
+    3 broadcasts for the same answer."""
     ev = _t(spark, sf, "events").select(
         "user_id", F.floor(F.unix_timestamp("ts") / 604800).alias("week")
     )
-    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort"))
-    act = ev.distinct().join(first, "user_id")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("week").alias("cohort"), F.collect_set("week").alias("weeks")
+    )
     return (
-        act.groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        per_user.select("cohort", F.explode("weeks").alias("week"))
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
     )
 
 
