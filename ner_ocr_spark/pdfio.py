@@ -938,8 +938,11 @@ def pdfio_rasterizer(blob: bytes, zoom: float = 2.0) -> list[bytes]:
     as PNG. `zoom` is a rasterization-density knob and does not apply to
     direct bitmap extraction (the embedded scan IS the page at its native
     resolution — exactly what the OCR stage wants); it is accepted for
-    signature compatibility and ignored."""
-    return [png.encode_gray(im) for im in extract_page_images(blob)]
+    signature compatibility and ignored. compress_level=1: the OCR stage
+    decodes these bytes within seconds of encoding them, so cheap
+    compression beats small payloads."""
+    return [png.encode_gray(im, compress_level=1)
+            for im in extract_page_images(blob)]
 
 
 # ---------------------------------------------------------------------------
