@@ -753,11 +753,111 @@ def _strip_strings(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _draw_ops(objs, page: dict) -> list[tuple[str, tuple]]:
-    """[(xobject_name, CTM)] for each `Do` in content-stream order, with
-    the CTM tracked through q/Q/cm — the placement a viewer would use.
-    Empty on any parse trouble (callers fall back to name order)."""
-    data = _strip_strings(_content_bytes(objs, page))
+# inline-image (BI..ID..EI) abbreviated keys/values (ISO 32000 tbl 91/92)
+_INLINE_KEYS = {
+    "W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+    "CS": "ColorSpace", "F": "Filter", "DP": "DecodeParms",
+    "D": "Decode", "IM": "ImageMask", "L": "Length",
+}
+_INLINE_VALS = {
+    "G": "DeviceGray", "RGB": "DeviceRGB", "I": "Indexed",
+    "Fl": "FlateDecode", "CCF": "CCITTFaxDecode", "DCT": "DCTDecode",
+    "RL": "RunLengthDecode", "AHx": "ASCIIHexDecode",
+}
+
+
+def _norm_inline(v):
+    if isinstance(v, Name):
+        return Name(_INLINE_VALS.get(str(v), str(v)))
+    if isinstance(v, list):
+        return [_norm_inline(x) for x in v]
+    return v
+
+
+def _inline_segments(raw: bytes) -> list[tuple[int, int, dict, bytes]]:
+    """BI..ID..EI inline images as [(start, end, image_dict, payload)] —
+    fax-converter PDFs often carry the page scan INLINE rather than as an
+    XObject. The EI terminator may legally occur inside binary payload, so
+    each whitespace-delimited candidate is DECODE-VERIFIED (a false early
+    EI yields a too-short stream and fails, and the search moves on)."""
+    segs: list[tuple[int, int, dict, bytes]] = []
+    dead: list[tuple[int, int]] = []  # undecodable BI..EI — blank, no draw
+    pos = 0
+    while True:
+        i = raw.find(b"BI", pos)
+        if i < 0:
+            break
+        before_ok = i == 0 or raw[i - 1] in _WS or raw[i - 1] in _DELIM
+        nxt = raw[i + 2 : i + 3]
+        after_ok = nxt == b"" or nxt[0] in _WS or nxt[0] in _DELIM
+        if not (before_ok and after_ok):
+            pos = i + 2
+            continue
+
+        def _to_first_ei(start: int) -> int:
+            e = raw.find(b"EI", start)
+            return len(raw) if e < 0 else e + 2
+
+        sc = _Scanner(raw, i + 2)
+        d: dict = {}
+        try:
+            while True:
+                sc._skip_ws()
+                if raw[sc.pos : sc.pos + 2] == b"ID":
+                    sc.pos += 2
+                    break
+                key = sc.parse()
+                val = sc.parse()
+                if isinstance(key, Name):
+                    d[_INLINE_KEYS.get(str(key), str(key))] = _norm_inline(val)
+        except (PdfError, IndexError):
+            # malformed header: still blank through the terminator so the
+            # binary payload never leaks into the operator stream
+            end = _to_first_ei(i + 2)
+            dead.append((i, end))
+            pos = end
+            continue
+        p0 = sc.pos + 1  # exactly one whitespace byte follows ID
+        q, found = p0, None
+        while found is None:
+            q = raw.find(b"EI", q)
+            if q < 0:
+                break
+            nb = raw[q + 2 : q + 3]
+            if (q > p0 and raw[q - 1] in _WS
+                    and (nb == b"" or nb[0] in _WS or nb[0] in _DELIM)):
+                for cand in (raw[p0 : q - 1], raw[p0:q]):
+                    try:
+                        _decode_image_xobject({}, dict(d), cand)
+                        found = (i, q + 2, d, cand)
+                        break
+                    except Exception:  # noqa: BLE001 — try next candidate
+                        continue
+            q += 2
+        if found is None:
+            end = _to_first_ei(p0)
+            dead.append((i, end))
+            pos = end
+            continue
+        segs.append(found)
+        pos = found[1]
+    return segs, dead
+
+
+def _draw_ops(objs, page: dict):
+    """([(name, CTM)] in content order, {inline_name: (dict, payload)}):
+    every image draw — `/Name Do` XObject placements AND BI..ID..EI
+    inline images — with the CTM tracked through q/Q/cm, the placement a
+    viewer would use. Empty on any parse trouble (callers fall back to
+    name order)."""
+    raw = _content_bytes(objs, page)
+    segs, dead = _inline_segments(raw)
+    blanked = bytearray(raw)
+    for s, e2, _, _ in segs:
+        blanked[s:e2] = b" " * (e2 - s)  # length-preserving: positions hold
+    for s, e2 in dead:
+        blanked[s:e2] = b" " * (e2 - s)
+    data = _strip_strings(bytes(blanked))
     ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
     def mul(m1, m2):  # apply m1 then m2
@@ -773,16 +873,20 @@ def _draw_ops(objs, page: dict) -> list[tuple[str, tuple]]:
     nums: list[float] = []
     last_name = None
     out: list[tuple[str, tuple]] = []
-    skip_until = -1  # inline-image (BI..ID..EI) binary: not token soup
+    inline: dict[str, tuple[dict, bytes]] = {}
+    seg_idx = 0
+
+    def flush_inline(up_to: int) -> None:
+        nonlocal seg_idx
+        while seg_idx < len(segs) and segs[seg_idx][0] < up_to:
+            nm = f"__inline{seg_idx}"
+            inline[nm] = (segs[seg_idx][2], segs[seg_idx][3])
+            out.append((nm, ctm))
+            seg_idx += 1
+
     for m in _CS_TOKEN.finditer(data):
-        if m.start() < skip_until:
-            continue
+        flush_inline(m.start())
         name, num, op = m.group(1), m.group(2), m.group(3)
-        if op == b"BI":
-            end = data.find(b"EI", m.end())
-            skip_until = (end + 2) if end >= 0 else len(data)
-            nums = []
-            continue
         if num is not None:
             nums.append(float(num))
             continue
@@ -799,7 +903,8 @@ def _draw_ops(objs, page: dict) -> list[tuple[str, tuple]]:
         elif ops == "Do" and last_name is not None:
             out.append((last_name, ctm))
         nums = []
-    return out
+    flush_inline(len(data) + 1)
+    return out, inline
 
 
 def _compose_page(objs, images: dict, draws: list, media) -> np.ndarray:
@@ -880,13 +985,15 @@ def extract_page_images(blob: bytes) -> list[np.ndarray]:
             value, stream = objs[ref.num]
             if isinstance(value, dict) and value.get("Subtype") == "Image":
                 images[str(name)] = (value, stream)
+        draw_list, inline_images = _draw_ops(objs, page)
+        images.update(inline_images)
         if not images:
             raise PdfError(
                 f"page {idx} has no image XObject — vector/text page is "
                 "outside the extractor subset; plug a rasterizer "
                 "(pypdfium2) via rasterizer="
             )
-        all_draws = [(n, m) for n, m in _draw_ops(objs, page) if n in images]
+        all_draws = [(n, m) for n, m in draw_list if n in images]
         # compositing handles axis-aligned placements; rotated/skewed
         # stamps are dropped from the composite (and a page with ONLY
         # such draws falls back to single-image decode below)

@@ -407,12 +407,13 @@ def test_strip_page_inside_objstm_pdf():
 
 
 def test_inline_image_binary_does_not_fake_draw_ops():
-    """BI..ID..EI inline-image binary in a content stream must not be
+    """An UNDECODABLE BI..ID..EI section (malformed header) must be
+    blanked through its terminator — its binary payload must not be
     tokenized as draw operators (phantom cm/Do from compressed bytes)."""
     g = np.full((6, 6), 99, np.uint8)
     blob = pdfio.encode_image_pdf([g])
-    # splice an inline image whose binary payload SPELLS a draw op
-    evil = b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x00/Im0 Do\xff EI "
+    # malformed inline image (no /H): payload SPELLS a draw op
+    evil = b"BI /W 2 ID \x00/Im0 Do\xff EI "
     old = b"q 6 0 0 6 0 0 cm /Im0 Do Q"
     new = evil + old
     content = old
@@ -510,3 +511,72 @@ def test_modern_writer_torture_document_end_to_end(spark):
         + [("text", "CLOSING SPAN", None)]
     )
     assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == want
+
+
+# -- inline images (BI..ID..EI) ----------------------------------------------
+
+
+def _content_swap(blob: bytes, new_content: bytes) -> bytes:
+    """Replace the (raw) content stream of a single-page writer fixture."""
+    m = re.search(rb"<< /Length (\d+) >>\nstream\n(q [^e]*?)\nendstream",
+                  blob, re.S)
+    assert m, "content stream not found"
+    old = b"<< /Length %s >>\nstream\n%s" % (m.group(1), m.group(2))
+    new = b"<< /Length %d >>\nstream\n%s" % (len(new_content), new_content)
+    out = blob.replace(old, new)
+    assert out != blob
+    return out
+
+
+def test_inline_image_page_extracts():
+    """A page whose scan is carried INLINE (BI..ID..EI, the fax-converter
+    shape) — no XObject draw at all — must extract pixel-exact."""
+    import zlib
+
+    g = (np.arange(9 * 13, dtype=np.uint32) * 29 % 251).astype(
+        np.uint8).reshape(9, 13)
+    payload = zlib.compress(g.tobytes(), 6)
+    content = (
+        b"q 13 0 0 9 0 0 cm BI /W 13 /H 9 /BPC 8 /CS /G /F /Fl ID "
+        + payload + b" EI Q"
+    )
+    blob = _content_swap(pdfio.encode_image_pdf([np.zeros((9, 13), np.uint8)]),
+                         content)
+    (page,) = pdfio.extract_page_images(blob)
+    assert np.array_equal(page, g)
+
+
+def test_inline_image_false_ei_in_payload():
+    """Uncompressed inline payload whose PIXELS spell ' EI ': the early
+    candidate yields a too-short stream, so decode-verify must advance to
+    the true terminator."""
+    g = np.full((6, 8), 7, np.uint8)
+    g[2, 2:6] = [0x20, 0x45, 0x49, 0x20]  # " EI " inside binary data
+    content = (
+        b"q 8 0 0 6 0 0 cm BI /W 8 /H 6 /BPC 8 /CS /G ID "
+        + g.tobytes() + b" EI Q"
+    )
+    blob = _content_swap(pdfio.encode_image_pdf([np.zeros((6, 8), np.uint8)]),
+                         content)
+    (page,) = pdfio.extract_page_images(blob)
+    assert np.array_equal(page, g)
+
+
+def test_inline_image_composites_with_xobject_strips():
+    """An inline header band above an XObject strip: both composite in
+    draw order."""
+    import zlib
+
+    full = np.arange(20 * 16, dtype=np.uint8).reshape(20, 16)
+    band, rest = full[:5], full[5:]
+    payload = zlib.compress(band.tobytes(), 6)
+    content = (
+        b"q 16 0 0 5 0 15 cm BI /W 16 /H 5 /BPC 8 /CS /G /F /Fl ID "
+        + payload + b" EI Q "
+        b"q 16 0 0 15 0 0 cm /Im0 Do Q"
+    )
+    base = pdfio.encode_image_pdf([rest])  # Im0 = bottom strip (15 rows)
+    blob = _content_swap(base, content)
+    blob = blob.replace(b"/MediaBox [0 0 16 15]", b"/MediaBox [0 0 16 20]")
+    (page,) = pdfio.extract_page_images(blob)
+    assert np.array_equal(page, full)
