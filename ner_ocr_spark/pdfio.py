@@ -504,6 +504,16 @@ def _predictor_undo(
     raise PdfError(f"predictor {predictor} unsupported")
 
 
+def _ahx_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode: hex digits (whitespace ignored) to `>` EOD; an odd
+    trailing digit pads with 0."""
+    end = data.find(b">")
+    hexs = re.sub(rb"[^0-9A-Fa-f]", b"", data if end < 0 else data[:end])
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii"))
+
+
 def _rle_decode(data: bytes) -> bytes:
     """RunLengthDecode (ISO 32000 §7.4.5): length byte L < 128 copies the
     next L+1 bytes; L > 128 repeats the next byte 257-L times; 128 = EOD."""
@@ -592,6 +602,11 @@ def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
     if not isinstance(w, int) or not isinstance(h, int):
         raise PdfError("image missing /Width or /Height")
     filters = _filters(image_dict)
+    if filters and filters[0] == "ASCIIHexDecode":
+        # AHx chains BEFORE the binary filter (how editors keep inline
+        # images printable); peel it, then dispatch on the rest
+        stream = _ahx_decode(bytes(stream))
+        filters = filters[1:]
     if filters == ["DCTDecode"]:
         return png.to_gray(jpeg.decode(bytes(stream)))
     if filters == ["CCITTFaxDecode"]:

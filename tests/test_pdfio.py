@@ -580,3 +580,21 @@ def test_inline_image_composites_with_xobject_strips():
     blob = blob.replace(b"/MediaBox [0 0 16 15]", b"/MediaBox [0 0 16 20]")
     (page,) = pdfio.extract_page_images(blob)
     assert np.array_equal(page, full)
+
+
+def test_inline_image_asciihex_chain():
+    """/F [/AHx /Fl] — printable inline-image encoding chains ASCIIHex
+    before the binary filter."""
+    import zlib
+
+    g = (np.arange(7 * 11, dtype=np.uint32) * 31 % 251).astype(
+        np.uint8).reshape(7, 11)
+    payload = zlib.compress(g.tobytes(), 6).hex().encode() + b">"
+    content = (
+        b"q 11 0 0 7 0 0 cm BI /W 11 /H 7 /BPC 8 /CS /G /F [/AHx /Fl] ID "
+        + payload + b" EI Q"
+    )
+    blob = _content_swap(pdfio.encode_image_pdf([np.zeros((7, 11), np.uint8)]),
+                         content)
+    (page,) = pdfio.extract_page_images(blob)
+    assert np.array_equal(page, g)
