@@ -963,6 +963,55 @@ def q_retention(spark, sf):  # weekly retention cohorts
     )
 
 
+def q_html_main(spark, sf):  # north rule: HTML boilerplate strip (DOM heuristics)
+    """Main-content extraction from real HTML markup: each document's text
+    is wrapped JVM-side into a full page — nav with links, a per-doc
+    variable-length sidebar of promo links, script/style decoys (one
+    containing a fake <p> tag), an entity-escaped content div, and a
+    footer — and the from-scratch readability-style extractor
+    (htmlx.parse + candidate scoring by text mass x (1 - link density) +
+    class/id priors) must recover EXACTLY the original text: boilerplate
+    dropped, entities decoded, whitespace collapsed on the pinned ASCII
+    class. The oracle derives the expected output directly from
+    documents.text, so any parser/scorer/unescape defect hash-fails.
+    Map-only plan: the page build is pure codegen, the extractor one
+    Arrow-batched python stage, zero shuffles (plan-gated)."""
+    from ner_ocr_spark.operators.html import extract_main_content
+
+    _ensure_shipped(spark)
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    sidebar = F.expr(
+        "repeat('<a href=\"#\">promo link</a> ', cast(doc_id % 4 + 1 as int))"
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><title>d</title>'
+            '<script>var p = "<p>decoy</p>";</script>'
+            "<style>.m{display:none}</style></head><body>"
+            '<nav class="nav menu"><a href="/">Home</a> '
+            '<a href="/a">About</a> <a href="/b">More</a></nav>'
+            '<div class="sidebar">'
+        ),
+        sidebar,
+        F.lit('</div><div id="main" class="article content"><p>'),
+        esc,
+        F.lit(
+            '</p></div><footer><a href="#">Contact</a> '
+            "&copy; corp</footer></body></html>"
+        ),
+    )
+    return extract_main_content(
+        docs.withColumn("html", html), "html"
+    ).select("doc_id", "main_text")
+
+
 def q_tpch_q1(spark, sf):  # showcase agg (bench headline)
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
     return (
@@ -1339,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "funnel": q_funnel,
         "retention": q_retention,
+        "html_main": q_html_main,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "percentiles": q_percentiles,
@@ -2266,6 +2316,15 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT ev.user_id) AS n_users
             FROM ev JOIN fw ON ev.user_id = fw.user_id
             GROUP BY fw.cohort, ev.week - fw.cohort
+        """,
+        # the expected main content IS the source text (whitespace
+        # collapsed on the pinned ASCII class): the page wrapper adds only
+        # boilerplate the extractor must drop and escaping it must undo
+        "html_main": """
+            SELECT doc_id,
+                   trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ',
+                                       'g')) AS main_text
+            FROM documents
         """,
         "stream_dedup": """
             SELECT DISTINCT

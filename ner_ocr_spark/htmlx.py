@@ -1,0 +1,277 @@
+"""From-scratch HTML main-content extraction (north rule: "HTML
+boilerplate strip, DOM heuristics").
+
+A minimal, dependency-free HTML5-ish parser (tokenizer + stack DOM with
+implied closes) and a readability-style main-content scorer — the
+published family of DOM heuristics (Readability/Boilerpipe/trafilatura):
+candidate containers score by text mass + comma density, discounted by
+LINK density, with class/id keyword priors (nav/footer/sidebar negative,
+article/content/main positive); the best candidate's block text is the
+page's main content. No reference code involved: the reference repo has
+no HTML handling at all (OCR-only ingestion).
+
+The Spark surface is `operators/html.extract_main_content` (Arrow-batched
+pandas UDF — a real parser is python; the batching model matches the OCR
+kernel). Whitespace canonicalization is the pinned ASCII class shared
+with the other normalizers so the DuckDB value oracle can reproduce
+expected output exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+# pinned ASCII whitespace (CLAUDE.md invariant: \s differs across engines)
+_WS_RUN = re.compile(r"[ \t\n\x0B\f\r]+")
+
+VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
+# an open <p>/<li>/... implicitly closes when a sibling of these opens
+_IMPLIED_CLOSE = {
+    "p": {"p", "div", "section", "article", "aside", "footer", "header",
+          "nav", "ul", "ol", "table", "h1", "h2", "h3", "h4", "h5", "h6",
+          "blockquote", "pre"},
+    "li": {"li"},
+    "td": {"td", "th", "tr"},
+    "th": {"td", "th", "tr"},
+    "tr": {"tr"},
+    "option": {"option"},
+}
+BLOCK_TAGS = {
+    "p", "div", "section", "article", "aside", "footer", "header", "nav",
+    "ul", "ol", "li", "table", "tr", "td", "th", "h1", "h2", "h3", "h4",
+    "h5", "h6", "blockquote", "pre", "main", "figcaption", "dd", "dt",
+    "form", "fieldset", "hr", "br",
+}
+_DROP_SUBTREES = {"script", "style", "noscript", "template", "svg",
+                  "iframe", "head"}
+CANDIDATE_TAGS = {"div", "article", "section", "main", "td", "body"}
+
+_NEGATIVE = re.compile(
+    r"nav|menu|sidebar|side-bar|footer|header|banner|breadcrumb|comment|"
+    r"share|social|sponsor|advert|ad-|promo|related|widget|cookie|popup",
+    re.I,
+)
+_POSITIVE = re.compile(
+    r"article|content|main|body|entry|post|text|story|page", re.I
+)
+
+_TAG_RE = re.compile(
+    rb"<!--.*?-->"                       # comments
+    rb"|<!\[CDATA\[.*?\]\]>"             # cdata
+    rb"|<![^>]*>"                        # doctype
+    rb"|<\?[^>]*>"                       # processing instruction
+    rb"|</\s*([A-Za-z][A-Za-z0-9]*)\s*>"  # close tag
+    rb"|<\s*([A-Za-z][A-Za-z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)/?>",
+    re.S,
+)
+_ATTR_RE = re.compile(
+    r"([A-Za-z_:][-A-Za-z0-9_:.]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+))?"
+)
+_ENTITY_RE = re.compile(r"&(#x?[0-9A-Fa-f]+|[A-Za-z][A-Za-z0-9]*);")
+_NAMED_ENTITIES = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "nbsp": " ", "mdash": "—", "ndash": "–", "hellip": "…",
+    "copy": "©", "reg": "®", "trade": "™",
+    "lsquo": "‘", "rsquo": "’", "ldquo": "“",
+    "rdquo": "”",
+}
+
+
+def unescape(text: str) -> str:
+    """Entity decode: the common named set + numeric (&#dd; / &#xhh;)."""
+
+    def _sub(m: re.Match) -> str:
+        ref = m.group(1)
+        if ref.startswith("#"):
+            try:
+                cp = int(ref[2:], 16) if ref[1] in "xX" else int(ref[1:])
+                return chr(cp) if 0 < cp < 0x110000 else m.group(0)
+            except ValueError:
+                return m.group(0)
+        return _NAMED_ENTITIES.get(ref, _NAMED_ENTITIES.get(ref.lower(),
+                                                            m.group(0)))
+
+    return _ENTITY_RE.sub(_sub, text)
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict | None = None, parent=None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list = []  # Node | str
+        self.parent = parent
+
+
+def _parse_attrs(raw: str) -> dict:
+    out = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        val = m.group(2) or ""
+        if val[:1] in ("'", '"'):
+            val = val[1:-1]
+        out[name] = unescape(val)
+    return out
+
+
+_RAWTEXT_CLOSE = {
+    t: re.compile(rb"</\s*%s\s*>" % t.encode(), re.I)
+    for t in ("script", "style", "textarea", "title")
+}
+
+
+def parse(html: str | bytes) -> Node:
+    """Tokenize + build a DOM with a tag stack and implied closes.
+    Forgiving: stray close tags are ignored, unclosed tags close at EOF,
+    script/style bodies are raw text."""
+    data = html.encode("utf-8", "replace") if isinstance(html, str) else bytes(html)
+    root = Node("#root")
+    cur = root
+    pos = 0
+    while pos < len(data):
+        m = _TAG_RE.search(data, pos)
+        if m is None:
+            _append_text(cur, data[pos:])
+            break
+        if m.start() > pos:
+            _append_text(cur, data[pos : m.start()])
+        pos = m.end()
+        close, open_, attr_raw = m.group(1), m.group(2), m.group(3)
+        if close is not None:
+            tag = close.decode("ascii").lower()
+            node = cur
+            while node is not root and node.tag != tag:
+                node = node.parent
+            if node is not root:
+                cur = node.parent  # close it (and implicitly its children)
+            continue
+        if open_ is None:
+            continue  # comment/doctype/pi
+        tag = open_.decode("ascii").lower()
+        self_closing = m.group(0).rstrip()[-2:] == b"/>"
+        # implied closes: <p><p> etc.
+        while (cur is not root and cur.tag in _IMPLIED_CLOSE
+               and tag in _IMPLIED_CLOSE[cur.tag]):
+            cur = cur.parent
+        node = Node(tag, _parse_attrs(attr_raw.decode("utf-8", "replace")),
+                    cur)
+        cur.children.append(node)
+        if tag in _RAWTEXT_CLOSE and not self_closing:
+            cm = _RAWTEXT_CLOSE[tag].search(data, pos)
+            end = cm.start() if cm else len(data)
+            _append_text(node, data[pos:end])
+            pos = cm.end() if cm else len(data)
+            continue
+        if tag not in VOID_TAGS and not self_closing:
+            cur = node
+    return root
+
+
+def _append_text(node: Node, raw: bytes) -> None:
+    if raw:
+        node.children.append(unescape(raw.decode("utf-8", "replace")))
+
+
+def _iter_nodes(node: Node):
+    yield node
+    for ch in node.children:
+        if isinstance(ch, Node) and ch.tag not in _DROP_SUBTREES:
+            yield from _iter_nodes(ch)
+
+
+def text_of(node: Node) -> str:
+    """Visible text: block boundaries become newlines, inline text joins;
+    whitespace collapses per block (the pinned ASCII class)."""
+    parts: list[str] = []
+
+    def walk(n: Node) -> None:
+        for ch in n.children:
+            if isinstance(ch, str):
+                parts.append(ch)
+            elif ch.tag in _DROP_SUBTREES:
+                continue
+            else:
+                if ch.tag in BLOCK_TAGS:
+                    parts.append("\x00")
+                walk(ch)
+                if ch.tag in BLOCK_TAGS:
+                    parts.append("\x00")
+
+    walk(node)
+    lines = []
+    # block boundaries are the \x00 sentinels (NOT source newlines, which
+    # are ordinary collapsible whitespace inside a paragraph)
+    for chunk in "".join(parts).split("\x00"):
+        collapsed = _WS_RUN.sub(" ", chunk).strip()
+        if collapsed:
+            lines.append(collapsed)
+    return "\n".join(lines)
+
+
+def _link_text_len(node: Node) -> int:
+    total = 0
+    for n in _iter_nodes(node):
+        if n.tag == "a":
+            total += sum(len(_WS_RUN.sub(" ", c)) for c in n.children
+                         if isinstance(c, str))
+    return total
+
+
+def _raw_text_len(node: Node) -> int:
+    total = 0
+    for n in _iter_nodes(node):
+        total += sum(len(_WS_RUN.sub(" ", c).strip()) for c in n.children
+                     if isinstance(c, str))
+    return total
+
+
+def _class_id_weight(node: Node) -> float:
+    sig = f"{node.attrs.get('class', '')} {node.attrs.get('id', '')}"
+    w = 0.0
+    if _NEGATIVE.search(sig):
+        w -= 25.0
+    if _POSITIVE.search(sig):
+        w += 25.0
+    if node.tag in ("article", "main"):
+        w += 25.0
+    if node.tag in ("nav", "aside", "footer", "header"):
+        w -= 25.0
+    return w
+
+
+def score(node: Node) -> float:
+    """Readability-style candidate score: text mass + comma density,
+    discounted by link density, plus class/id priors."""
+    text_len = _raw_text_len(node)
+    if text_len == 0:
+        return -1e9
+    link_len = _link_text_len(node)
+    link_density = min(link_len / text_len, 1.0)
+    commas = sum(c.count(",") for n in _iter_nodes(node)
+                 for c in n.children if isinstance(c, str))
+    base = min(text_len / 10.0, 300.0) + commas
+    return (base * (1.0 - link_density)) + _class_id_weight(node)
+
+
+def main_node(root: Node) -> Node:
+    """Best-scoring candidate container (falls back to the whole tree)."""
+    best, best_score = root, -1e18
+    for n in _iter_nodes(root):
+        if n.tag not in CANDIDATE_TAGS:
+            continue
+        s = score(n)
+        if s > best_score:
+            best, best_score = n, s
+    return best
+
+
+def main_text(html: str | bytes | None) -> str:
+    """Extract the page's main content text (boilerplate stripped)."""
+    if html is None:
+        return ""
+    root = parse(html)
+    return text_of(main_node(root))

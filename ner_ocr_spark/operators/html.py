@@ -1,0 +1,38 @@
+"""HTML main-content extraction operator (north rule: "HTML boilerplate
+strip ... DOM heuristics").
+
+The kernel (`ner_ocr_spark/htmlx.py`) is a from-scratch HTML parser +
+readability-style scorer; real DOM work is python, so the Spark surface
+is an Arrow-batched pandas UDF — the same batching model as the OCR
+kernel, never row-at-a-time. The operator is MAP-ONLY: zero shuffles,
+plan-gated in tests — at 100 TB each task streams its split through the
+extractor and nothing crosses the wire but the rows themselves.
+
+The reference repo has no HTML ingestion (OCR-only); this operator is
+original work against the published Readability/Boilerpipe heuristic
+family.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("string")
+def _main_text_udf(htmls: pd.Series) -> pd.Series:
+    from ner_ocr_spark.htmlx import main_text
+
+    return htmls.map(main_text)
+
+
+def extract_main_content(
+    df: DataFrame, html_col: str = "html", out_col: str = "main_text"
+) -> DataFrame:
+    """Append `out_col` = the page's main content text (boilerplate —
+    nav / sidebar / footer / script / style — stripped; entities decoded;
+    whitespace collapsed per block on the pinned ASCII class)."""
+    return df.withColumn(out_col, _main_text_udf(F.col(html_col)))
