@@ -980,6 +980,16 @@ def q_html_main(spark, sf):  # north rule: HTML boilerplate strip (DOM heuristic
 
     _ensure_shipped(spark)
     docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return extract_main_content(
+        docs.withColumn("html", _doc_page_html()), "html"
+    ).select("doc_id", "main_text")
+
+
+def _doc_page_html():
+    """JVM-built synthetic page around documents.text: doc-varying
+    <title>/<h1>, nav + variable-length sidebar link farm + footer
+    boilerplate, script/style decoys, entity-escaped content. Everything
+    the extractors must recover is SQL-derivable for the oracles."""
     esc = F.replace(
         F.replace(
             F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
@@ -990,9 +1000,12 @@ def q_html_main(spark, sf):  # north rule: HTML boilerplate strip (DOM heuristic
     sidebar = F.expr(
         "repeat('<a href=\"#\">promo link</a> ', cast(doc_id % 4 + 1 as int))"
     )
-    html = F.concat(
+    doc_tag = F.concat(F.lit("DOC "), F.col("doc_id").cast("string"))
+    return F.concat(
+        F.lit("<html><head><title>"),
+        doc_tag,
         F.lit(
-            '<html><head><title>d</title>'
+            "</title>"
             '<script>var p = "<p>decoy</p>";</script>'
             "<style>.m{display:none}</style></head><body>"
             '<nav class="nav menu"><a href="/">Home</a> '
@@ -1000,16 +1013,32 @@ def q_html_main(spark, sf):  # north rule: HTML boilerplate strip (DOM heuristic
             '<div class="sidebar">'
         ),
         sidebar,
-        F.lit('</div><div id="main" class="article content"><p>'),
+        F.lit('</div><div id="main" class="article content"><h1>'),
+        doc_tag,
+        F.lit("</h1><p>"),
         esc,
         F.lit(
             '</p></div><footer><a href="#">Contact</a> '
             "&copy; corp</footer></body></html>"
         ),
     )
-    return extract_main_content(
-        docs.withColumn("html", html), "html"
-    ).select("doc_id", "main_text")
+
+
+def q_html_meta(spark, sf):  # page census: title / headline / outlinks
+    """Structural metadata over the same synthetic pages: <title> (inside
+    the dropped <head> subtree — needs the all-nodes walk), the first
+    h1-h3, and the outlink census (count + hrefs in document order, the
+    link-graph feed). All four values are SQL-derivable, so this is a
+    full value oracle over the parser's tag/attribute handling."""
+    from ner_ocr_spark.operators.html import extract_metadata
+
+    _ensure_shipped(spark)
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    out = extract_metadata(docs.withColumn("html", _doc_page_html()), "html")
+    return out.select(
+        "doc_id", "meta.title", "meta.headline", "meta.n_links",
+        "meta.links_joined",
+    )
 
 
 def q_tpch_q1(spark, sf):  # showcase agg (bench headline)
@@ -1389,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "html_main": q_html_main,
+        "html_meta": q_html_meta,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "percentiles": q_percentiles,
@@ -2317,13 +2347,25 @@ def oracle_sql() -> dict[str, str]:
             FROM ev JOIN fw ON ev.user_id = fw.user_id
             GROUP BY fw.cohort, ev.week - fw.cohort
         """,
-        # the expected main content IS the source text (whitespace
-        # collapsed on the pinned ASCII class): the page wrapper adds only
-        # boilerplate the extractor must drop and escaping it must undo
+        # the expected main content IS the wrapper's h1 + the source text
+        # (whitespace collapsed on the pinned ASCII class): boilerplate
+        # must drop, escaping must undo, blocks separate on newline
         "html_main": """
             SELECT doc_id,
+                   'DOC ' || CAST(doc_id AS VARCHAR) || chr(10) ||
                    trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ',
                                        'g')) AS main_text
+            FROM documents
+        """,
+        # wrapper structure is deterministic per doc_id: title/h1 carry the
+        # doc tag; links = nav 3 + sidebar (doc_id%4+1) + footer 1
+        "html_meta": """
+            SELECT doc_id,
+                   'DOC ' || CAST(doc_id AS VARCHAR) AS title,
+                   'DOC ' || CAST(doc_id AS VARCHAR) AS headline,
+                   CAST(doc_id % 4 + 5 AS BIGINT) AS n_links,
+                   '/ /a /b' || repeat(' #', CAST(doc_id % 4 + 1 AS INT))
+                             || ' #' AS links_joined
             FROM documents
         """,
         "stream_dedup": """

@@ -275,3 +275,39 @@ def main_text(html: str | bytes | None) -> str:
         return ""
     root = parse(html)
     return text_of(main_node(root))
+
+
+def _all_nodes(node: Node):
+    """Every node, INCLUDING dropped subtrees (head/script/...) — metadata
+    like <title> lives inside <head>."""
+    yield node
+    for ch in node.children:
+        if isinstance(ch, Node):
+            yield from _all_nodes(ch)
+
+
+def _own_text(node: Node) -> str:
+    return _WS_RUN.sub(
+        " ", "".join(c for c in node.children if isinstance(c, str))
+    ).strip()
+
+
+def title_text(root: Node) -> str:
+    for n in _all_nodes(root):
+        if n.tag == "title":
+            return _own_text(n)
+    return ""
+
+
+def first_heading(root: Node) -> str:
+    for tag in ("h1", "h2", "h3"):
+        for n in _iter_nodes(root):
+            if n.tag == tag:
+                return text_of(n).replace("\n", " ")
+    return ""
+
+
+def links(root: Node) -> list[str]:
+    """href values of visible <a> anchors, in document order."""
+    return [n.attrs["href"] for n in _iter_nodes(root)
+            if n.tag == "a" and "href" in n.attrs]

@@ -36,3 +36,32 @@ def extract_main_content(
     nav / sidebar / footer / script / style — stripped; entities decoded;
     whitespace collapsed per block on the pinned ASCII class)."""
     return df.withColumn(out_col, _main_text_udf(F.col(html_col)))
+
+
+@pandas_udf("title string, headline string, n_links bigint, "
+            "links_joined string")
+def _meta_udf(htmls: pd.Series) -> pd.DataFrame:
+    from ner_ocr_spark import htmlx
+
+    rows = []
+    for h in htmls:
+        if h is None:
+            rows.append(("", "", 0, ""))
+            continue
+        root = htmlx.parse(h)
+        lk = htmlx.links(root)
+        rows.append((htmlx.title_text(root), htmlx.first_heading(root),
+                     len(lk), " ".join(lk)))
+    return pd.DataFrame(
+        rows, columns=["title", "headline", "n_links", "links_joined"]
+    )
+
+
+def extract_metadata(
+    df: DataFrame, html_col: str = "html", out_col: str = "meta"
+) -> DataFrame:
+    """Append `out_col` = struct(title, headline, n_links, links_joined):
+    the crawl-pipeline page census — <title>, the first h1-h3, and every
+    anchor href in document order (joined; outlink extraction for link
+    graphs). Map-only, one Arrow-batched stage."""
+    return df.withColumn(out_col, _meta_udf(F.col(html_col)))

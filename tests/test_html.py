@@ -110,5 +110,5 @@ def test_spark_roundtrip_sample(spark):
            .filter("doc_id < 20").collect()}
     assert len(got) == 20
     for did, text in src.items():
-        want = re.sub(r"[ \t\n\x0B\f\r]+", " ", text).strip()
+        want = f"DOC {did}\n" + re.sub(r"[ \t\n\x0B\f\r]+", " ", text).strip()
         assert got[did] == want
