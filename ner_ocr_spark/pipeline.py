@@ -130,6 +130,37 @@ def extract_spans(
         .filter(F.length("text") > 0)
     )
 
+    # -- html branch: kind='html' spans carry raw markup; main-content
+    # extraction (north rule: boilerplate strip / DOM heuristics, an
+    # Arrow-batched python kernel) feeds the SAME downstream normalizer as
+    # text. A separate filtered branch so only html rows pay the python
+    # crossing (a when() over the union would Arrow-evaluate every row).
+    from ner_ocr_spark.operators.html import _main_text_udf
+
+    # asNondeterministic: the blank filter above this projection would
+    # otherwise be pushed BELOW it, duplicating the Arrow stage (the UDF
+    # would run once for the predicate and again for the projection —
+    # measured: 2 ArrowEvalPython nodes). The marker pins one evaluation.
+    _main_once = _main_text_udf.asNondeterministic()
+    html_branch = (
+        spans.filter(F.col("kind") == "html")
+        .select(
+            "doc_id",
+            "span_idx",
+            F.lit(0).alias("line_idx"),
+            "kind",
+            normalize_expr(_main_once(F.col("text"))).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(None).cast("array<double>").alias("box"),
+            F.lit(1.0).alias("score"),
+            F.lit(None).cast("string").alias("transformer_text"),
+            F.lit(None).cast("double").alias("transformer_score"),
+            F.lit(None).cast("string").alias("error"),
+        )
+        .filter(F.length("text") > 0)
+    )
+    text_branch = text_branch.unionByName(html_branch)
+
     # -- media branch: spread heavy docs, then batched OCR ----------------
     # pdf spans ride the SAME branch: the OCR stage sniffs %PDF- blobs and
     # expands pages in-stage (without a rasterizer the image sniff rejects

@@ -112,3 +112,51 @@ def test_spark_roundtrip_sample(spark):
     for did, text in src.items():
         want = f"DOC {did}\n" + re.sub(r"[ \t\n\x0B\f\r]+", " ", text).strip()
         assert got[did] == want
+
+
+def test_html_span_kind_interleaved_end_to_end(spark):
+    """kind='html' is a first-class span kind: raw markup spans extract
+    their MAIN CONTENT (boilerplate stripped, entities decoded), feed the
+    same normalizer as text spans, and keep their interleaved position
+    under span-sequence equality — one document mixing text + html +
+    media."""
+    from ner_ocr_spark import corpus, pipeline
+    from ner_ocr_spark.kernels.normalize import normalize_text
+    from tests.conftest import DOC_SCHEMA
+
+    ref = "media/html-e2e/0"
+    truth = [normalize_text(t) for t in corpus.media_truth_text(ref)]
+    html = (
+        '<html><head><script>var x = "<p>no</p>";</script></head><body>'
+        '<nav class="nav"><a href="/">Home</a><a href="/a">About</a></nav>'
+        '<div id="c" class="content"><p>Embedded &amp; extracted, main'
+        " content   wins.</p></div>"
+        '<footer><a href="#">Contact</a></footer></body></html>'
+    )
+    docs = spark.createDataFrame(
+        [{
+            "doc_id": "h0",
+            "spans": [
+                {"kind": "text", "text": "LEADING TEXT", "media_ref": None,
+                 "offset": 0},
+                {"kind": "html", "text": html, "media_ref": None,
+                 "offset": 1},
+                {"kind": "media", "text": None, "media_ref": ref,
+                 "offset": 2},
+                {"kind": "text", "text": "TRAILING TEXT", "media_ref": None,
+                 "offset": 3},
+            ],
+        }],
+        DOC_SCHEMA,
+    )
+    out = pipeline.run(spark, docs)
+    spans = {r["doc_id"]: r["spans"] for r in out.collect()}["h0"]
+    got = [(s["kind"], s["text"], s["media_ref"]) for s in spans]
+    want = (
+        [("text", normalize_text("LEADING TEXT"), None),
+         ("html", normalize_text("Embedded & extracted, main content wins."),
+          None)]
+        + [("media", t, ref) for t in truth]
+        + [("text", normalize_text("TRAILING TEXT"), None)]
+    )
+    assert got == want
