@@ -487,6 +487,25 @@ def make_ner_stage(
 
         tagger = GazetteerTagger(gazetteer)
         for pdf in batches:
+            if "kind" in pdf.columns:
+                mask = (pdf["kind"] == "html").to_numpy()
+                if mask.any():
+                    # kind='html' rows reach this stage with RAW markup:
+                    # main-content extraction + the python normalizer twin
+                    # ride the SAME crossing (a separate Arrow stage would
+                    # re-scan the source — pipeline comment); blanks drop
+                    from ner_ocr_spark.htmlx import main_text
+                    from ner_ocr_spark.kernels.normalize import (
+                        normalize_text,
+                    )
+
+                    pdf = pdf.copy()
+                    pdf.loc[mask, text_col] = [
+                        normalize_text(main_text(h))
+                        for h in pdf.loc[mask, text_col]
+                    ]
+                    keep = ~(mask & (pdf[text_col].fillna("") == ""))
+                    pdf = pdf[keep]
             ents_col, bio_col = [], []
             for text in pdf[text_col]:
                 ents, bio = tagger.tag(text if isinstance(text, str) else "")

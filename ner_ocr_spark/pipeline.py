@@ -111,15 +111,24 @@ def extract_spans(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
 
-    # -- text branch: pure JVM expressions (codegen, no python) -----------
+    # -- text + html branch (ONE source consumer: a third filter-fork of
+    # `spans` re-scans and re-explodes the source — measured +16% on the
+    # e2e wall for a corpus with zero html spans). text rows normalize
+    # JVM-side (codegen); kind='html' rows carry their RAW markup through
+    # this projection — main-content extraction (north rule: boilerplate
+    # strip / DOM heuristics) happens inside the NER stage's existing
+    # python crossing (with_ner) or in a dedicated Arrow branch (no-NER
+    # path below), never as an extra stage over text rows.
     text_branch = (
-        spans.filter(F.col("kind") == "text")
+        spans.filter(F.col("kind").isin(["text", "html"]))
         .select(
             "doc_id",
             "span_idx",
             F.lit(0).alias("line_idx"),
             "kind",
-            normalize_expr(F.col("text")).alias("text"),
+            F.when(F.col("kind") == "text", normalize_expr(F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text"),
             F.lit(None).cast("string").alias("media_ref"),
             F.lit(None).cast("array<double>").alias("box"),
             F.lit(1.0).alias("score"),
@@ -127,39 +136,8 @@ def extract_spans(
             F.lit(None).cast("double").alias("transformer_score"),
             F.lit(None).cast("string").alias("error"),
         )
-        .filter(F.length("text") > 0)
+        .filter((F.col("kind") == "html") | (F.length("text") > 0))
     )
-
-    # -- html branch: kind='html' spans carry raw markup; main-content
-    # extraction (north rule: boilerplate strip / DOM heuristics, an
-    # Arrow-batched python kernel) feeds the SAME downstream normalizer as
-    # text. A separate filtered branch so only html rows pay the python
-    # crossing (a when() over the union would Arrow-evaluate every row).
-    from ner_ocr_spark.operators.html import _main_text_udf
-
-    # asNondeterministic: the blank filter above this projection would
-    # otherwise be pushed BELOW it, duplicating the Arrow stage (the UDF
-    # would run once for the predicate and again for the projection —
-    # measured: 2 ArrowEvalPython nodes). The marker pins one evaluation.
-    _main_once = _main_text_udf.asNondeterministic()
-    html_branch = (
-        spans.filter(F.col("kind") == "html")
-        .select(
-            "doc_id",
-            "span_idx",
-            F.lit(0).alias("line_idx"),
-            "kind",
-            normalize_expr(_main_once(F.col("text"))).alias("text"),
-            F.lit(None).cast("string").alias("media_ref"),
-            F.lit(None).cast("array<double>").alias("box"),
-            F.lit(1.0).alias("score"),
-            F.lit(None).cast("string").alias("transformer_text"),
-            F.lit(None).cast("double").alias("transformer_score"),
-            F.lit(None).cast("string").alias("error"),
-        )
-        .filter(F.length("text") > 0)
-    )
-    text_branch = text_branch.unionByName(html_branch)
 
     # -- media branch: spread heavy docs, then batched OCR ----------------
     # pdf spans ride the SAME branch: the OCR stage sniffs %PDF- blobs and
@@ -220,7 +198,24 @@ def extract_spans(
             refined_text_expr(F.col("transformer_text"), F.col("text"))
         ),
     ).filter((F.length("text") > 0) | F.col("error").isNotNull())
-    return text_branch.unionByName(media_branch).select(*SPAN_COLS)
+    # no-NER path: html rows still carry raw markup — extract via a
+    # dedicated Arrow branch (asNondeterministic pins ONE evaluation: the
+    # blank filter would otherwise push below the projection and run the
+    # UDF twice). This forks text_branch (one extra scan) — only on this
+    # secondary path; the with_ner path extracts inside the NER stage.
+    from ner_ocr_spark.operators.html import _main_text_udf
+
+    _main_once = _main_text_udf.asNondeterministic()
+    texts_only = text_branch.filter(F.col("kind") == "text")
+    htmls = (
+        text_branch.filter(F.col("kind") == "html")
+        .withColumn("text", normalize_expr(_main_once(F.col("text"))))
+        .filter(F.length("text") > 0)
+    )
+    return (
+        texts_only.unionByName(htmls).unionByName(media_branch)
+        .select(*SPAN_COLS)
+    )
 
 
 def assemble_documents(extracted: DataFrame) -> DataFrame:

@@ -22,8 +22,10 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-DEFAULT_QUERIES = ["minhash_pairs", "cosine_topk", "quality_features",
-                   "token_count"]
+DEFAULT_QUERIES = os.environ.get(
+    "AB_QUERIES",
+    "minhash_pairs,cosine_topk,quality_features,token_count",
+).split(",")
 
 
 def child(repo: str, queries: list[str]) -> None:
