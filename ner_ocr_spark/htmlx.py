@@ -73,11 +73,16 @@ _ATTR_RE = re.compile(
 _ENTITY_RE = re.compile(r"&(#x?[0-9A-Fa-f]+|[A-Za-z][A-Za-z0-9]*);")
 _NAMED_ENTITIES = {
     "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
-    "nbsp": " ", "mdash": "—", "ndash": "–", "hellip": "…",
+    "nbsp": "\xa0",  # real NBSP — consistent with &#160;
+    "mdash": "—", "ndash": "–", "hellip": "…",
     "copy": "©", "reg": "®", "trade": "™",
     "lsquo": "‘", "rsquo": "’", "ldquo": "“",
     "rdquo": "”",
 }
+
+# the pinned ASCII edge-whitespace set (CLAUDE.md invariant — str.strip()
+# with no argument also eats \xa0 and would diverge from the SQL oracles)
+_PIN_STRIP = " \t\n\x0B\f\r"
 
 
 def unescape(text: str) -> str:
@@ -160,73 +165,101 @@ def parse(html: str | bytes) -> Node:
         node = Node(tag, _parse_attrs(attr_raw.decode("utf-8", "replace")),
                     cur)
         cur.children.append(node)
-        if tag in _RAWTEXT_CLOSE and not self_closing:
+        if tag in _RAWTEXT_CLOSE:
+            if self_closing:  # xhtml-style <script/>: no body to consume
+                continue
             cm = _RAWTEXT_CLOSE[tag].search(data, pos)
             end = cm.start() if cm else len(data)
             _append_text(node, data[pos:end])
             pos = cm.end() if cm else len(data)
             continue
-        if tag not in VOID_TAGS and not self_closing:
+        # HTML5 rule: a stray "/" on a non-void start tag is IGNORED (the
+        # element stays open) — honoring it would mis-close tags whose
+        # UNQUOTED attribute value ends in '/', e.g. <a href=http://x/>
+        if tag not in VOID_TAGS:
             cur = node
     return root
 
 
 def _append_text(node: Node, raw: bytes) -> None:
     if raw:
-        node.children.append(unescape(raw.decode("utf-8", "replace")))
+        # HTML5 tokenizer rule: NUL in character data becomes U+FFFD —
+        # also keeps source bytes from colliding with internal sentinels
+        node.children.append(
+            unescape(raw.decode("utf-8", "replace")).replace("\x00", "�")
+        )
 
 
 def _iter_nodes(node: Node):
-    yield node
-    for ch in node.children:
-        if isinstance(ch, Node) and ch.tag not in _DROP_SUBTREES:
-            yield from _iter_nodes(ch)
+    """Iterative pre-order walk (recursion blows the frame limit on
+    pathologically nested pages), skipping dropped subtrees."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(
+            ch for ch in reversed(n.children)
+            if isinstance(ch, Node) and ch.tag not in _DROP_SUBTREES
+        )
 
 
 def text_of(node: Node) -> str:
     """Visible text: block boundaries become newlines, inline text joins;
-    whitespace collapses per block (the pinned ASCII class)."""
+    whitespace collapses per block (the pinned ASCII class). Iterative
+    (depth-safe); source NULs were already replaced at parse time, so the
+    \\x00 sentinel is unambiguous."""
     parts: list[str] = []
-
-    def walk(n: Node) -> None:
-        for ch in n.children:
+    stack: list = [("enter", node)]
+    while stack:
+        op, item = stack.pop()
+        if op == "text":
+            parts.append(item)
+            continue
+        if op == "sep":
+            parts.append("\x00")
+            continue
+        for ch in reversed(item.children):
             if isinstance(ch, str):
-                parts.append(ch)
+                stack.append(("text", ch))
             elif ch.tag in _DROP_SUBTREES:
                 continue
+            elif ch.tag in BLOCK_TAGS:
+                stack.append(("sep", None))
+                stack.append(("enter", ch))
+                stack.append(("sep", None))
             else:
-                if ch.tag in BLOCK_TAGS:
-                    parts.append("\x00")
-                walk(ch)
-                if ch.tag in BLOCK_TAGS:
-                    parts.append("\x00")
-
-    walk(node)
+                stack.append(("enter", ch))
     lines = []
     # block boundaries are the \x00 sentinels (NOT source newlines, which
     # are ordinary collapsible whitespace inside a paragraph)
     for chunk in "".join(parts).split("\x00"):
-        collapsed = _WS_RUN.sub(" ", chunk).strip()
+        collapsed = _WS_RUN.sub(" ", chunk).strip(_PIN_STRIP)
         if collapsed:
             lines.append(collapsed)
     return "\n".join(lines)
 
 
-def _link_text_len(node: Node) -> int:
-    total = 0
-    for n in _iter_nodes(node):
+def _subtree_stats(root: Node) -> dict:
+    """{node: (text_len, link_len, commas)} for every visible node in ONE
+    bottom-up pass — the naive per-candidate rescans were O(nodes x
+    nesting depth), quadratic on real-world div soup."""
+    order = list(_iter_nodes(root))  # pre-order; reversed = children first
+    stats: dict = {}
+    for n in reversed(order):
+        tl = ll = cm = 0
+        for ch in n.children:
+            if isinstance(ch, str):
+                tl += len(_WS_RUN.sub(" ", ch).strip(_PIN_STRIP))
+                cm += ch.count(",")
+            elif ch.tag not in _DROP_SUBTREES:
+                ctl, cll, ccm = stats[ch]
+                tl += ctl
+                ll += cll
+                cm += ccm
         if n.tag == "a":
-            total += sum(len(_WS_RUN.sub(" ", c)) for c in n.children
-                         if isinstance(c, str))
-    return total
-
-
-def _raw_text_len(node: Node) -> int:
-    total = 0
-    for n in _iter_nodes(node):
-        total += sum(len(_WS_RUN.sub(" ", c).strip()) for c in n.children
-                     if isinstance(c, str))
-    return total
+            ll = tl  # every character under an anchor is link text
+        stats[n] = (tl, ll, cm)
+    return stats
 
 
 def _class_id_weight(node: Node) -> float:
@@ -243,27 +276,27 @@ def _class_id_weight(node: Node) -> float:
     return w
 
 
-def score(node: Node) -> float:
+def score(node: Node, stats: dict | None = None) -> float:
     """Readability-style candidate score: text mass + comma density,
     discounted by link density, plus class/id priors."""
-    text_len = _raw_text_len(node)
+    if stats is None or node not in stats:
+        stats = _subtree_stats(node)
+    text_len, link_len, commas = stats[node]
     if text_len == 0:
         return -1e9
-    link_len = _link_text_len(node)
     link_density = min(link_len / text_len, 1.0)
-    commas = sum(c.count(",") for n in _iter_nodes(node)
-                 for c in n.children if isinstance(c, str))
     base = min(text_len / 10.0, 300.0) + commas
     return (base * (1.0 - link_density)) + _class_id_weight(node)
 
 
 def main_node(root: Node) -> Node:
     """Best-scoring candidate container (falls back to the whole tree)."""
+    stats = _subtree_stats(root)
     best, best_score = root, -1e18
     for n in _iter_nodes(root):
         if n.tag not in CANDIDATE_TAGS:
             continue
-        s = score(n)
+        s = score(n, stats)
         if s > best_score:
             best, best_score = n, s
     return best
@@ -279,17 +312,19 @@ def main_text(html: str | bytes | None) -> str:
 
 def _all_nodes(node: Node):
     """Every node, INCLUDING dropped subtrees (head/script/...) — metadata
-    like <title> lives inside <head>."""
-    yield node
-    for ch in node.children:
-        if isinstance(ch, Node):
-            yield from _all_nodes(ch)
+    like <title> lives inside <head>. Iterative (depth-safe)."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(ch for ch in reversed(n.children)
+                     if isinstance(ch, Node))
 
 
 def _own_text(node: Node) -> str:
     return _WS_RUN.sub(
         " ", "".join(c for c in node.children if isinstance(c, str))
-    ).strip()
+    ).strip(_PIN_STRIP)
 
 
 def title_text(root: Node) -> str:

@@ -493,18 +493,30 @@ def make_ner_stage(
                     # kind='html' rows reach this stage with RAW markup:
                     # main-content extraction + the python normalizer twin
                     # ride the SAME crossing (a separate Arrow stage would
-                    # re-scan the source — pipeline comment); blanks drop
+                    # re-scan the source — pipeline comment); blanks drop,
+                    # failures absorb per row (M6: error set, text NULL)
                     from ner_ocr_spark.htmlx import main_text
                     from ner_ocr_spark.kernels.normalize import (
                         normalize_text,
                     )
 
+                    texts, errs = [], []
+                    for h in pdf.loc[mask, text_col]:
+                        try:
+                            texts.append(normalize_text(main_text(h)))
+                            errs.append(None)
+                        except Exception as e:  # noqa: BLE001
+                            texts.append(None)
+                            errs.append(f"html: {type(e).__name__}: {e}")
                     pdf = pdf.copy()
-                    pdf.loc[mask, text_col] = [
-                        normalize_text(main_text(h))
-                        for h in pdf.loc[mask, text_col]
-                    ]
-                    keep = ~(mask & (pdf[text_col].fillna("") == ""))
+                    pdf.loc[mask, text_col] = texts
+                    if "error" in pdf.columns:
+                        pdf.loc[mask, "error"] = errs
+                    keep = ~(
+                        mask & (pdf[text_col].fillna("") == "")
+                        & pdf.get("error", pd.Series(index=pdf.index,
+                                                     dtype=object)).isna()
+                    )
                     pdf = pdf[keep]
             ents_col, bio_col = [], []
             for text in pdf[text_col]:
@@ -520,6 +532,12 @@ def make_ner_stage(
             pdf = pdf.copy()
             pdf["entities"] = ents_col
             pdf["bio"] = bio_col
+            if "error" in pdf.columns:
+                # M6: error rows never gain tagging output
+                em = pdf["error"].notna()
+                if em.any():
+                    pdf.loc[em, "entities"] = None
+                    pdf.loc[em, "bio"] = None
             yield pdf
 
     return stage, schema

@@ -26,7 +26,13 @@ from pyspark.sql.functions import pandas_udf
 def _main_text_udf(htmls: pd.Series) -> pd.Series:
     from ner_ocr_spark.htmlx import main_text
 
-    return htmls.map(main_text)
+    def one(h):
+        try:
+            return main_text(h)
+        except Exception:  # noqa: BLE001 — per-row absorption (M6)
+            return ""
+
+    return htmls.map(one)
 
 
 def extract_main_content(
@@ -48,10 +54,13 @@ def _meta_udf(htmls: pd.Series) -> pd.DataFrame:
         if h is None:
             rows.append(("", "", 0, ""))
             continue
-        root = htmlx.parse(h)
-        lk = htmlx.links(root)
-        rows.append((htmlx.title_text(root), htmlx.first_heading(root),
-                     len(lk), " ".join(lk)))
+        try:
+            root = htmlx.parse(h)
+            lk = htmlx.links(root)
+            rows.append((htmlx.title_text(root), htmlx.first_heading(root),
+                         len(lk), " ".join(lk)))
+        except Exception:  # noqa: BLE001 — per-row absorption (M6)
+            rows.append(("", "", 0, ""))
     return pd.DataFrame(
         rows, columns=["title", "headline", "n_links", "links_joined"]
     )

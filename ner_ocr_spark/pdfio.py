@@ -602,17 +602,28 @@ def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
     if not isinstance(w, int) or not isinstance(h, int):
         raise PdfError("image missing /Width or /Height")
     filters = _filters(image_dict)
+    parms_all = _deref(objs, image_dict.get("DecodeParms"))
     if filters and filters[0] == "ASCIIHexDecode":
         # AHx chains BEFORE the binary filter (how editors keep inline
-        # images printable); peel it, then dispatch on the rest
+        # images printable); peel it AND its /DecodeParms slot, then
+        # dispatch on the rest
         stream = _ahx_decode(bytes(stream))
         filters = filters[1:]
+        if isinstance(parms_all, list):
+            parms_all = parms_all[1:]
+
+    def _parms() -> dict:
+        """The (remaining) first filter's parameter dict; array-form
+        /DecodeParms may carry null placeholders."""
+        p = parms_all
+        if isinstance(p, list):
+            p = _deref(objs, p[0]) if p else None
+        return p if isinstance(p, dict) else {}
+
     if filters == ["DCTDecode"]:
         return png.to_gray(jpeg.decode(bytes(stream)))
     if filters == ["CCITTFaxDecode"]:
-        parms = _deref(objs, image_dict.get("DecodeParms")) or {}
-        if isinstance(parms, list):
-            parms = _deref(objs, parms[0]) if parms else {}
+        parms = _parms()
         k = _deref(objs, parms.get("K", 0))
         if not isinstance(k, int):
             raise PdfError(f"CCITT K={k!r} is not an integer")
@@ -645,9 +656,7 @@ def _decode_image_xobject(objs, image_dict: dict, stream: bytes) -> np.ndarray:
         gray = np.where(sample, d1, d0) * 255.0
         return np.clip(np.rint(gray), 0, 255).astype(np.uint8)
     if filters in ([], ["FlateDecode"], ["RunLengthDecode"]):
-        parms = _deref(objs, image_dict.get("DecodeParms")) or {}
-        if isinstance(parms, list):
-            parms = _deref(objs, parms[0]) if parms else {}
+        parms = _parms()
         if filters == ["FlateDecode"]:
             data = zlib.decompress(stream)
         elif filters == ["RunLengthDecode"]:
@@ -789,21 +798,27 @@ def _norm_inline(v):
     return v
 
 
-def _inline_segments(raw: bytes) -> list[tuple[int, int, dict, bytes]]:
-    """BI..ID..EI inline images as [(start, end, image_dict, payload)] —
-    fax-converter PDFs often carry the page scan INLINE rather than as an
-    XObject. The EI terminator may legally occur inside binary payload, so
+def _inline_segments(
+    raw: bytes, stripped: bytes
+) -> tuple[list[tuple[int, int, dict, bytes]], list[tuple[int, int]]]:
+    """BI..ID..EI inline images as ([(start, end, image_dict, payload)],
+    [(dead_start, dead_end)]) — fax-converter PDFs often carry the page
+    scan INLINE rather than as an XObject. BI detection + header parsing
+    run on the STRING-STRIPPED copy (a ' BI ' inside a text-layer string
+    literal must not start a phantom segment — stripping is
+    length-preserving so offsets align); the binary PAYLOAD slices from
+    `raw`. The EI terminator may legally occur inside binary payload, so
     each whitespace-delimited candidate is DECODE-VERIFIED (a false early
     EI yields a too-short stream and fails, and the search moves on)."""
     segs: list[tuple[int, int, dict, bytes]] = []
     dead: list[tuple[int, int]] = []  # undecodable BI..EI — blank, no draw
     pos = 0
     while True:
-        i = raw.find(b"BI", pos)
+        i = stripped.find(b"BI", pos)
         if i < 0:
             break
-        before_ok = i == 0 or raw[i - 1] in _WS or raw[i - 1] in _DELIM
-        nxt = raw[i + 2 : i + 3]
+        before_ok = i == 0 or stripped[i - 1] in _WS or stripped[i - 1] in _DELIM
+        nxt = stripped[i + 2 : i + 3]
         after_ok = nxt == b"" or nxt[0] in _WS or nxt[0] in _DELIM
         if not (before_ok and after_ok):
             pos = i + 2
@@ -813,12 +828,12 @@ def _inline_segments(raw: bytes) -> list[tuple[int, int, dict, bytes]]:
             e = raw.find(b"EI", start)
             return len(raw) if e < 0 else e + 2
 
-        sc = _Scanner(raw, i + 2)
+        sc = _Scanner(stripped, i + 2)
         d: dict = {}
         try:
             while True:
                 sc._skip_ws()
-                if raw[sc.pos : sc.pos + 2] == b"ID":
+                if stripped[sc.pos : sc.pos + 2] == b"ID":
                     sc.pos += 2
                     break
                 key = sc.parse()
@@ -866,13 +881,14 @@ def _draw_ops(objs, page: dict):
     viewer would use. Empty on any parse trouble (callers fall back to
     name order)."""
     raw = _content_bytes(objs, page)
-    segs, dead = _inline_segments(raw)
-    blanked = bytearray(raw)
+    stripped = _strip_strings(raw)
+    segs, dead = _inline_segments(raw, stripped)
+    blanked = bytearray(stripped)
     for s, e2, _, _ in segs:
         blanked[s:e2] = b" " * (e2 - s)  # length-preserving: positions hold
     for s, e2 in dead:
         blanked[s:e2] = b" " * (e2 - s)
-    data = _strip_strings(bytes(blanked))
+    data = bytes(blanked)
     ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
     def mul(m1, m2):  # apply m1 then m2

@@ -63,7 +63,7 @@ def test_class_priors_break_text_mass_ties():
 
 def test_entities_and_numeric_refs():
     assert htmlx.unescape("&amp;&lt;&gt;&quot;&#65;&#x42;&nbsp;&bogus;") == (
-        '&<>"AB &bogus;'
+        '&<>"AB\xa0&bogus;'
     )
 
 
@@ -160,3 +160,81 @@ def test_html_span_kind_interleaved_end_to_end(spark):
         + [("text", normalize_text("TRAILING TEXT"), None)]
     )
     assert got == want
+
+
+# -- round-4 review-pass regressions -----------------------------------------
+
+
+def test_deeply_nested_html_no_recursion_error():
+    """2000-deep div nesting must extract, not RecursionError (iterative
+    walks; the Arrow stage would otherwise fail the whole task)."""
+    page = "<div>" * 2000 + "deep text survives" + "</div>" * 2000
+    assert htmlx.main_text(page) == "deep text survives"
+
+
+def test_nbsp_uses_pinned_whitespace_class():
+    """\\xa0 is NOT edge whitespace (pinned ASCII class, CLAUDE.md):
+    str.strip() would eat it and diverge from the SQL oracle."""
+    out = htmlx.main_text(
+        '<body><div class="content"><p>\xa0padded\xa0</p></div></body>'
+    )
+    assert out == "\xa0padded\xa0"
+    # &nbsp; decodes to a REAL NBSP, consistent with &#160;
+    assert htmlx.unescape("&nbsp;") == htmlx.unescape("&#160;") == "\xa0"
+
+
+def test_nul_bytes_become_replacement_char_not_block_breaks():
+    """HTML5 rule: NUL -> U+FFFD — and the internal block sentinel can't
+    collide with source bytes."""
+    out = htmlx.main_text(
+        '<body><div class="content"><p>a\x00b</p></div></body>'
+    )
+    assert out == "a�b"  # ONE line, not two
+
+
+def test_unquoted_href_trailing_slash_keeps_anchor_open():
+    """HTML5: a stray '/' on a non-void start tag is ignored — an unquoted
+    URL value ending in '/' must not make <a> self-closing (it would
+    undercount link density and promote link farms)."""
+    root = htmlx.parse(
+        "<body><div><a href=http://x.example/>anchor text</a></div></body>"
+    )
+    (a,) = [n for n in htmlx._iter_nodes(root) if n.tag == "a"]
+    assert a.attrs["href"] == "http://x.example/"
+    assert htmlx.text_of(a) == "anchor text"
+    stats = htmlx._subtree_stats(root)
+    assert stats[a][1] == stats[a][0] > 0  # all of it counted as link text
+
+
+def test_ner_stage_absorbs_html_kernel_failure(spark, monkeypatch):
+    """A per-row kernel failure in the fused html extraction absorbs to an
+    error row (M6): error set, text/entities/bio NULL, row survives."""
+    import pandas as pd
+
+    from ner_ocr_spark import htmlx as hx
+    from ner_ocr_spark.operators.extract import make_ner_stage
+    from pyspark.sql import types as T
+
+    def boom(h):
+        raise ValueError("synthetic kernel failure")
+
+    monkeypatch.setattr(hx, "main_text", boom)
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ])
+    fn, _ = make_ner_stage([("alice", "PER")], passthrough=schema)
+    batch = pd.DataFrame({
+        "doc_id": ["d", "d"], "kind": ["text", "html"],
+        "text": ["alice spoke", "<p>x</p>"], "error": [None, None],
+    })
+    out = pd.concat(list(fn(iter([batch]))))
+    assert len(out) == 2
+    html_row = out[out["kind"] == "html"].iloc[0]
+    assert "synthetic kernel failure" in html_row["error"]
+    assert html_row["text"] is None or pd.isna(html_row["text"])
+    assert html_row["entities"] is None and html_row["bio"] is None
+    text_row = out[out["kind"] == "text"].iloc[0]
+    assert text_row["error"] is None and len(text_row["entities"]) == 1

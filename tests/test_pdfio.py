@@ -598,3 +598,49 @@ def test_inline_image_asciihex_chain():
                          content)
     (page,) = pdfio.extract_page_images(blob)
     assert np.array_equal(page, g)
+
+
+def test_bi_inside_string_literal_does_not_eat_draws():
+    """' BI ' inside a text-layer STRING literal must not start a phantom
+    inline-image segment (which would dead-blank every later draw)."""
+    rng = np.random.default_rng(6)
+    full = rng.integers(0, 256, (20, 16), dtype=np.uint8)
+    blob = pdfio.encode_image_pdf([[full[:10], full[10:]]])
+    m = None
+    for m in re.finditer(rb"stream\n(q 16[^e]*?)\nendstream", blob):
+        pass
+    assert m
+    old_content = m.group(1)
+    new_content = b"BT (see BI section) Tj ET " + old_content
+    tampered = blob.replace(
+        b"<< /Length %d >>\nstream\n%s" % (len(old_content), old_content),
+        b"<< /Length %d >>\nstream\n%s" % (len(new_content), new_content),
+    )
+    assert tampered != blob
+    (page,) = pdfio.extract_page_images(tampered)
+    assert np.array_equal(page, full)
+
+
+def test_ahx_chain_with_array_decodeparms_predictor():
+    """/Filter [/AHx /Fl] + /DecodeParms [null << /Predictor ... >>]: the
+    AHx slot must peel WITH its filter so the predictor parms apply."""
+    import zlib
+
+    g = (np.arange(8 * 12, dtype=np.uint32) * 19 % 251).astype(
+        np.uint8).reshape(8, 12)
+    filtered = pdfio._predictor_apply(g, 12)
+    payload = zlib.compress(filtered, 6).hex().encode() + b">"
+    content = (
+        b"q 12 0 0 8 0 0 cm BI /W 12 /H 8 /BPC 8 /CS /G /F [/AHx /Fl] "
+        b"/DP [null << /Predictor 12 /Columns 12 /Colors 1 "
+        b"/BitsPerComponent 8 >>] ID " + payload + b" EI Q"
+    )
+    base = pdfio.encode_image_pdf([np.zeros((8, 12), np.uint8)])
+    m = re.search(rb"<< /Length (\d+) >>\nstream\n(q [^e]*?)\nendstream",
+                  base, re.S)
+    tampered = base.replace(
+        b"<< /Length %s >>\nstream\n%s" % (m.group(1), m.group(2)),
+        b"<< /Length %d >>\nstream\n%s" % (len(content), content),
+    )
+    (page,) = pdfio.extract_page_images(tampered)
+    assert np.array_equal(page, g)
