@@ -12,6 +12,10 @@ Modes:
             stratified sample -> sequence packing, written as shard-
             partitioned training layout (curation.curate +
             sinks.write_training_shards)
+  html    — main-content extraction over pages(<id cols>, html): strips
+            boilerplate via the readability-style DOM heuristics and adds
+            main_text + title/headline/n_links/links_joined columns
+            (north rule: HTML boilerplate strip / DOM heuristics)
 
 Run locally:
     python -m ner_ocr_spark extract -i docs.parquet -o out/
@@ -28,7 +32,8 @@ import sys
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="ner_ocr_spark")
-    p.add_argument("mode", choices=["extract", "ocr", "entity", "curate"])
+    p.add_argument("mode",
+                   choices=["extract", "ocr", "entity", "curate", "html"])
     p.add_argument("-i", "--input", required=True,
                    help="parquet path of documents(doc_id, spans) — or of "
                         "stage-1 span rows for mode=entity")
@@ -54,6 +59,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="curate: independent packing streams")
     p.add_argument("--seed", type=int, default=7,
                    help="curate: sampling hash seed")
+    p.add_argument("--html-col", default="html",
+                   help="html: input column holding page markup")
     return p.parse_args(argv)
 
 
@@ -134,6 +141,26 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"mode": "curate", "output": args.output,
                           "n_docs": obs.get["n"], "shards": args.shards,
                           "budget": args.budget}))
+        spark.stop()
+        return 0
+
+    if args.mode == "html":
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from ner_ocr_spark.operators.html import (
+            extract_main_content, extract_metadata,
+        )
+
+        pages = spark.read.parquet(args.input)
+        out = extract_metadata(
+            extract_main_content(pages, args.html_col), args.html_col
+        ).select("*", "meta.*").drop("meta", args.html_col)
+        obs = Observation("html")
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"mode": "html", "output": args.output,
+                          "n_pages": obs.get["n"]}))
         spark.stop()
         return 0
 

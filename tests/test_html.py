@@ -238,3 +238,28 @@ def test_ner_stage_absorbs_html_kernel_failure(spark, monkeypatch):
     assert html_row["entities"] is None and html_row["bio"] is None
     text_row = out[out["kind"] == "text"].iloc[0]
     assert text_row["error"] is None and len(text_row["entities"]) == 1
+
+
+def test_cli_html_mode(spark, tmp_path, monkeypatch):
+    """`python -m ner_ocr_spark html`: pages(html) parquet in ->
+    main_text + metadata columns out."""
+    from ner_ocr_spark.__main__ import main
+
+    # main() stops its session on exit; the fixture session is shared
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    inp, out = str(tmp_path / "pages"), str(tmp_path / "out")
+    spark.createDataFrame(
+        [("p1",
+          '<body><nav><a href="/">Home</a></nav>'
+          '<div class="content"><h1>Hi</h1><p>Real content, here.</p></div>'
+          "</body>")],
+        "page_id string, html string",
+    ).write.parquet(inp)
+    assert main(["html", "-i", inp, "-o", out]) == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["page_id"] == "p1" and "html" not in rows[0].asDict()
+    assert r["main_text"] == "Hi\nReal content, here."
+    assert r["headline"] == "Hi" and r["n_links"] == 1
+    assert r["links_joined"] == "/"
