@@ -1361,7 +1361,37 @@ ROWS_ONLY: dict[str, str] = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters for verification currency: the driver's
+    # correctness artifact covers a 50-entry window from the FRONT of this
+    # dict, so the entries that have never appeared in a driver-signed
+    # CORRECTNESS_r*.json (rounds 1-4 covered the same first-50 window)
+    # are listed first.  The previously-signed 50 follow; they stay pinned
+    # by scripts/check_oracle.py and tests/test_entry_contract.py.
     return {
+        # --- never driver-signed through round 4 (front of the window) ---
+        "entity_json": q_entity_json,
+        "image_features": q_image_features,
+        "interval_join": q_interval_join,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "html_main": q_html_main,
+        "html_meta": q_html_meta,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "percentiles": q_percentiles,
+        "pivot": q_pivot,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "display_format": q_display_format,
+        "asof_join": q_asof_join,
+        "set_ops": q_set_ops,
+        "refine_coalesce": q_refine_coalesce,
+        "extraction_text_branch": q_extraction_text_branch,
+        "stream_metrics": q_stream_metrics,
+        "stateful_sessions": q_stateful_sessions,
+        "stream_dedup": q_stream_dedup,
+        "extraction_e2e": q_extraction_e2e,
+        # --- driver-signed in rounds 1-4 ---
         "kind_route": q_kind_route,
         "ext_filter": q_ext_filter,
         "coalesce_blank": q_coalesce_blank,
@@ -1412,28 +1442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circle_rect": q_circle_rect,
         "topk_per_group": q_topk_per_group,
         "semantic_search": q_semantic_search,
-        "entity_json": q_entity_json,
-        "image_features": q_image_features,
-        "interval_join": q_interval_join,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "html_main": q_html_main,
-        "html_meta": q_html_meta,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "percentiles": q_percentiles,
-        "pivot": q_pivot,
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "display_format": q_display_format,
-        "asof_join": q_asof_join,
-        "set_ops": q_set_ops,
-        "refine_coalesce": q_refine_coalesce,
-        "extraction_text_branch": q_extraction_text_branch,
-        "stream_metrics": q_stream_metrics,
-        "stateful_sessions": q_stateful_sessions,
-        "stream_dedup": q_stream_dedup,
-        "extraction_e2e": q_extraction_e2e,
     }
 
 
