@@ -531,6 +531,13 @@ def _ivf_oracle_sql() -> str | None:
 
 
 def q_embed_neardup(spark, sf):  # embedding-cosine near-dup (exact, blocked)
+    """sf-scale VALUE ORACLE for `cosine_expr`, not the production near-dup
+    path: exact cosine within label blocks is quadratic in block size, and
+    the `label` block key is unbounded — at corpus scale a hot label would
+    go O(n²). The 100-TB paths are `lsh_topk` (SRP buckets, bounded by
+    bands) and `ivf_topk` (bounded cells), both value-oracled; this query
+    exists so the cosine arithmetic itself is pinned against DuckDB on a
+    small, bounded slice (vec_id < 200)."""
     from ner_ocr_spark.operators.similarity import cosine_expr
 
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200).select(
@@ -2358,12 +2365,20 @@ def oracle_sql() -> dict[str, str]:
         # the expected main content IS the wrapper's h1 + the source text
         # (whitespace collapsed on the pinned ASCII class): boilerplate
         # must drop, escaping must undo, blocks separate on newline
+        # blank-text guard: a whitespace-only text yields an empty block
+        # that the extractor's text_of drops entirely, so the trailing
+        # chr(10) must be omitted or the twin hash-fails on such a corpus
         "html_main": """
             SELECT doc_id,
-                   'DOC ' || CAST(doc_id AS VARCHAR) || chr(10) ||
-                   trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ',
-                                       'g')) AS main_text
-            FROM documents
+                   CASE WHEN body = '' THEN 'DOC ' || CAST(doc_id AS VARCHAR)
+                        ELSE 'DOC ' || CAST(doc_id AS VARCHAR) || chr(10)
+                             || body END AS main_text
+            FROM (
+                SELECT doc_id,
+                       trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+',
+                                           ' ', 'g')) AS body
+                FROM documents
+            )
         """,
         # wrapper structure is deterministic per doc_id: title/h1 carry the
         # doc tag; links = nav 3 + sidebar (doc_id%4+1) + footer 1

@@ -51,7 +51,11 @@ CANDIDATE_TAGS = {"div", "article", "section", "main", "td", "body"}
 
 _NEGATIVE = re.compile(
     r"nav|menu|sidebar|side-bar|footer|header|banner|breadcrumb|comment|"
-    r"share|social|sponsor|advert|ad-|promo|related|widget|cookie|popup",
+    # 'ad-' must be token-anchored: a bare substring match hits legitimate
+    # containers like 'thread-item' / 'download-section' / 'grad-content'
+    # and the -25 penalty can flip main_node selection on close scores.
+    r"share|social|sponsor|advert|(?:^|[^a-z])ad-|promo|related|widget|"
+    r"cookie|popup",
     re.I,
 )
 _POSITIVE = re.compile(

@@ -254,14 +254,20 @@ def _parse_objects(blob: bytes) -> dict[int, tuple[object, bytes | None]]:
             # establish the stream's extent so in-payload fake `obj`
             # tokens are skipped. /Length may be an (unresolved) Ref —
             # fall back to the next endstream, which can only UNDER-cover
-            # (equivalent to the pre-fix behavior, never worse).
+            # (equivalent to the pre-fix behavior, never worse). A literal
+            # /Length is NOT trusted on its own either: a lying /Length
+            # that over-claims past the actual endstream would swallow
+            # real `N G obj` definitions that follow (corrupt-Length
+            # files regressed vs the pre-extent brute scan) — clamp to
+            # the first endstream at/after the payload start so a bad
+            # /Length can only UNDER-cover, never hide later objects.
             length = value.get("Length") if isinstance(value, dict) else None
+            end = blob.find(b"endstream", p)
             if isinstance(length, int):
-                covered_until = max(covered_until, p + length)
-            else:
-                end = blob.find(b"endstream", p)
-                if end >= 0:
-                    covered_until = max(covered_until, end)
+                ext = p + length if end < 0 else min(p + length, end)
+                covered_until = max(covered_until, ext)
+            elif end >= 0:
+                covered_until = max(covered_until, end)
         # finditer yields ascending positions, so assignment alone IS
         # later-definition-wins; pos_of feeds the ObjStm pass-2 compare
         raw[num] = (value, stream_start)

@@ -201,16 +201,28 @@ def extract_spans(
     # no-NER path: html rows still carry raw markup — extract via a
     # dedicated Arrow branch (asNondeterministic pins ONE evaluation: the
     # blank filter would otherwise push below the projection and run the
-    # UDF twice). This forks text_branch (one extra scan) — only on this
-    # secondary path; the with_ner path extracts inside the NER stage.
-    from ner_ocr_spark.operators.html import _main_text_udf
+    # UDF twice, and field accesses on the struct would duplicate it).
+    # This forks text_branch (one extra scan) — only on this secondary
+    # path; the with_ner path extracts inside the NER stage. Failures
+    # become ERROR ROWS (text NULL, error set) exactly like the fused
+    # path — dropping them silently would make span sequences differ
+    # between NER modes for malformed HTML (M6 mode invariance).
+    from ner_ocr_spark.operators.html import _main_text_err_udf
 
-    _main_once = _main_text_udf.asNondeterministic()
+    _main_once = _main_text_err_udf.asNondeterministic()
     texts_only = text_branch.filter(F.col("kind") == "text")
     htmls = (
         text_branch.filter(F.col("kind") == "html")
-        .withColumn("text", normalize_expr(_main_once(F.col("text"))))
-        .filter(F.length("text") > 0)
+        .withColumn("_hx", _main_once(F.col("text")))
+        .withColumn("error", F.col("_hx.error"))
+        .withColumn(
+            "text",
+            F.when(F.col("_hx.error").isNotNull(),
+                   F.lit(None).cast("string"))
+            .otherwise(normalize_expr(F.col("_hx.text"))),
+        )
+        .drop("_hx")
+        .filter((F.length("text") > 0) | F.col("error").isNotNull())
     )
     return (
         texts_only.unionByName(htmls).unionByName(media_branch)
