@@ -328,9 +328,60 @@ def q_minhash_pairs_md5(spark, sf):  # FULL LSH candidate pairs, value-checked
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
     # 8 bands of 1 row: high candidate rate, so the oracle compare covers
-    # real pairs (bands of 2 found zero collisions at this corpus size)
+    # real pairs (bands of 2 found zero collisions at this corpus size).
+    # max_bucket_df=2 is the stop-hash cap, taken IDENTICALLY by the twin
+    # (count per band value <= 2 in the join disjuncts) — at this corpus
+    # size it genuinely drops the df=3 buckets, so the capped path is
+    # value-checked, not just plumbed through
     return minhash_lsh_pairs(
-        docs, num_hashes=8, bands=8, base_hash=md5_hash31
+        docs, num_hashes=8, bands=8, base_hash=md5_hash31, max_bucket_df=2
+    )
+
+
+_SKEW_TEXT = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def _skewed_docs(spark, sf):
+    """doc_id < 150 with every 5th text replaced by ONE fixed string — a
+    deterministic hot-bucket corpus (30 identical docs) shared by the
+    stophash_cap / hot_buckets queries and their DuckDB twins."""
+    return _t(spark, sf, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_SKEW_TEXT))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_stophash_cap(spark, sf):  # capped LSH on a skewed corpus, value-checked
+    """The stop-hash cap END-TO-END on real skew: 30 identical documents
+    form a df-30 bucket in every band; max_bucket_df=8 drops those buckets
+    before the self-join (no quadratic pair blow-up from boilerplate), and
+    the DuckDB twin applies the identical per-band df predicate — so the
+    DROP semantics themselves are value-checked, complementing
+    minhash_pairs_md5 where the cap barely bites."""
+    from ner_ocr_spark.operators.dedup import md5_hash31, minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _skewed_docs(spark, sf),
+        num_hashes=8, bands=8, base_hash=md5_hash31, max_bucket_df=8,
+    )
+
+
+def q_hot_buckets(spark, sf):  # dropped-mass report, value-checked
+    """The companion report a capped run must emit (stop-hash drops are
+    never silent): per over-cap band bucket, its df and the pair count
+    avoided. band_hash (xxhash64) is projected away so the DuckDB twin can
+    count per band VALUE instead — same buckets, oracle-expressible."""
+    from ner_ocr_spark.operators.dedup import md5_hash31, minhash_hot_buckets
+
+    return minhash_hot_buckets(
+        _skewed_docs(spark, sf),
+        num_hashes=8, bands=8, base_hash=md5_hash31, max_bucket_df=8,
+    ).select(
+        F.col("band_idx").cast("int").alias("band_idx"),
+        "bucket_df",
+        "pairs_avoided",
     )
 
 
@@ -382,7 +433,10 @@ def q_simhash_pairs_md5(spark, sf):  # FULL rotation-bucketed candidates, value-
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     sh = simhash_table(docs, base_hash=md5_hash60, n_bits=60)
-    pairs = simhash_bucket_pairs(sh, prefix_bits=16, rotations=4)
+    # stop-hash cap mirrored by the twin's QUALIFY (no bucket exceeds it
+    # at this corpus size — the drop path is value-checked by stophash_cap)
+    pairs = simhash_bucket_pairs(sh, prefix_bits=16, rotations=4,
+                                 max_bucket_df=16)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
@@ -436,7 +490,11 @@ def q_fingerprint_pairs(spark, sf):  # winnowing containment pairs, value-checke
     # task (measured 351 s -> the map parallelizes across cores; at corpus
     # scale the source already has many splits and this is a no-op cost)
     inj = inj.repartition(32, "doc_id")
-    return fingerprint_pairs(inj, min_shared=2, base_hash=md5_hash60)
+    # stop-hash cap mirrored by the twin's QUALIFY over the exploded
+    # hash table; 64 keeps the decade-anchor hashes (df <= ~11) while
+    # pinning the cap semantics in the value compare
+    return fingerprint_pairs(inj, min_shared=2, base_hash=md5_hash60,
+                             max_bucket_df=64)
 
 
 def q_source_mix(spark, sf):  # per-source corpus mixing report
@@ -1398,6 +1456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_sessions": q_stateful_sessions,
         "stream_dedup": q_stream_dedup,
         "extraction_e2e": q_extraction_e2e,
+        # --- new in round 5 (stop-hash cap; still inside the 50-window) ---
+        "stophash_cap": q_stophash_cap,
+        "hot_buckets": q_hot_buckets,
         # --- driver-signed in rounds 1-4 ---
         "kind_route": q_kind_route,
         "ext_filter": q_ext_filter,
@@ -1629,48 +1690,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(l.g, r.g)) AS DOUBLE)
                   / len(list_distinct(list_concat(l.g, r.g))) >= 0.3
         """,
-        "minhash_pairs_md5": """
-            WITH grams AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(len(w) - 2, 1) + 1),
-                           i -> array_to_string(w[i:i+2], ' '))) AS shingles
-                FROM (
-                    SELECT doc_id,
-                           string_split(trim(regexp_replace(lower(text),
-                                             '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
-                    FROM documents WHERE doc_id < 150
-                )
-            ), hashed AS (
-                SELECT doc_id,
-                       list_transform(shingles,
-                           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
-                                % 2147483648) AS hs
-                FROM grams
-            ), sig AS (
-                SELECT doc_id,
-                   list_min(list_transform(hs, h -> (h *  1 +  7919) % 2147483647)) AS mh0,
-                   list_min(list_transform(hs, h -> (h *  3 + 15838) % 2147483647)) AS mh1,
-                   list_min(list_transform(hs, h -> (h *  5 + 23757) % 2147483647)) AS mh2,
-                   list_min(list_transform(hs, h -> (h *  7 + 31676) % 2147483647)) AS mh3,
-                   list_min(list_transform(hs, h -> (h *  9 + 39595) % 2147483647)) AS mh4,
-                   list_min(list_transform(hs, h -> (h * 11 + 47514) % 2147483647)) AS mh5,
-                   list_min(list_transform(hs, h -> (h * 13 + 55433) % 2147483647)) AS mh6,
-                   list_min(list_transform(hs, h -> (h * 15 + 63352) % 2147483647)) AS mh7
-                FROM hashed
-            )
-            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-                   round((CAST(l.mh0 = r.mh0 AS INT) + CAST(l.mh1 = r.mh1 AS INT)
-                        + CAST(l.mh2 = r.mh2 AS INT) + CAST(l.mh3 = r.mh3 AS INT)
-                        + CAST(l.mh4 = r.mh4 AS INT) + CAST(l.mh5 = r.mh5 AS INT)
-                        + CAST(l.mh6 = r.mh6 AS INT) + CAST(l.mh7 = r.mh7 AS INT))
-                        / 8.0, 4) AS est_jaccard
-            FROM sig l JOIN sig r
-              ON l.doc_id < r.doc_id
-             AND (l.mh0 = r.mh0 OR l.mh1 = r.mh1 OR l.mh2 = r.mh2
-               OR l.mh3 = r.mh3 OR l.mh4 = r.mh4 OR l.mh5 = r.mh5
-               OR l.mh6 = r.mh6 OR l.mh7 = r.mh7)
-        """,
+        # minhash_pairs_md5 / stophash_cap / hot_buckets are generated from
+        # the shared sig-CTE template after this dict (same affine family,
+        # different source + stop-hash cap)
         "dup_clusters": """
             WITH RECURSIVE d AS (
                 SELECT doc_id, lang,
@@ -1778,7 +1800,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM grams
             ), sh AS (
                 SELECT doc_id AS id, ({simhash_bits}) AS simhash FROM hashed
-            ), b AS (
+            ), b0 AS (
                 SELECT id, simhash, rot,
                        CASE rot
                            WHEN 0 THEN simhash >> 48
@@ -1787,6 +1809,10 @@ def oracle_sql() -> dict[str, str]:
                            ELSE simhash & 65535
                        END AS bucket
                 FROM sh, (SELECT unnest([0, 1, 2, 3]) AS rot) t
+            ), b AS (
+                -- stop-hash cap twin (max_bucket_df=16 in the Spark query)
+                SELECT * FROM b0
+                QUALIFY count(*) OVER (PARTITION BY rot, bucket) <= 16
             )
             SELECT DISTINCT l.id AS id_a, r.id AS id_b,
                    CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
@@ -2457,6 +2483,89 @@ def oracle_sql() -> dict[str, str]:
     from ner_ocr_spark.operators.similarity import lsh_topk_oracle_sql
 
     out["lsh_topk"] = lsh_topk_oracle_sql(k=5, dim=64, n_planes=8)
+
+    # --- generated minhash twins (shared sig-CTE template; the affine
+    # family constants are the Spark side's 2i+1 / 7919*(i+1)) ---
+    def _minhash_sig_ctes(source_sql: str) -> str:
+        return f"""
+            WITH grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 2, 1) + 1),
+                           i -> array_to_string(w[i:i+2], ' '))) AS shingles
+                FROM (
+                    SELECT doc_id,
+                           string_split(trim(regexp_replace(lower(text),
+                                             '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
+                    FROM ({source_sql})
+                )
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(shingles,
+                           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                                % 2147483648) AS hs
+                FROM grams
+            ), sig AS (
+                SELECT doc_id,
+                   list_min(list_transform(hs, h -> (h *  1 +  7919) % 2147483647)) AS mh0,
+                   list_min(list_transform(hs, h -> (h *  3 + 15838) % 2147483647)) AS mh1,
+                   list_min(list_transform(hs, h -> (h *  5 + 23757) % 2147483647)) AS mh2,
+                   list_min(list_transform(hs, h -> (h *  7 + 31676) % 2147483647)) AS mh3,
+                   list_min(list_transform(hs, h -> (h *  9 + 39595) % 2147483647)) AS mh4,
+                   list_min(list_transform(hs, h -> (h * 11 + 47514) % 2147483647)) AS mh5,
+                   list_min(list_transform(hs, h -> (h * 13 + 55433) % 2147483647)) AS mh6,
+                   list_min(list_transform(hs, h -> (h * 15 + 63352) % 2147483647)) AS mh7
+                FROM hashed
+            )"""
+
+    def _minhash_pairs_twin(source_sql: str, cap: int) -> str:
+        # the stop-hash cap: a band bucket only generates candidates when
+        # its df <= cap; the per-band df is count() over the band VALUE
+        # (bands of 1 row => bucket == mh_i; band_hash is injective mod
+        # 64-bit xxhash collisions, the same assumption the uncapped twin
+        # already made for the join condition itself)
+        conds = " OR ".join(
+            f"(l.mh{i} = r.mh{i} AND l.c{i} <= {cap})" for i in range(8)
+        )
+        counts = ",\n                   ".join(
+            f"count(*) OVER (PARTITION BY mh{i}) AS c{i}" for i in range(8)
+        )
+        return f"""{_minhash_sig_ctes(source_sql)}, sigc AS (
+                SELECT *,
+                   {counts}
+                FROM sig
+            )
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   round((CAST(l.mh0 = r.mh0 AS INT) + CAST(l.mh1 = r.mh1 AS INT)
+                        + CAST(l.mh2 = r.mh2 AS INT) + CAST(l.mh3 = r.mh3 AS INT)
+                        + CAST(l.mh4 = r.mh4 AS INT) + CAST(l.mh5 = r.mh5 AS INT)
+                        + CAST(l.mh6 = r.mh6 AS INT) + CAST(l.mh7 = r.mh7 AS INT))
+                        / 8.0, 4) AS est_jaccard
+            FROM sigc l JOIN sigc r
+              ON l.doc_id < r.doc_id
+             AND ({conds})
+        """
+
+    out["minhash_pairs_md5"] = _minhash_pairs_twin(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 150", 2
+    )
+    _skew_src = (
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN '" + _SKEW_TEXT
+        + "' ELSE text END AS text FROM documents WHERE doc_id < 150"
+    )
+    out["stophash_cap"] = _minhash_pairs_twin(_skew_src, 8)
+    _bands_union = "\n                UNION ALL ".join(
+        f"SELECT {i} AS b, mh{i} AS v FROM sig" for i in range(8)
+    )
+    out["hot_buckets"] = f"""{_minhash_sig_ctes(_skew_src)}, u AS (
+                {_bands_union}
+            )
+            SELECT CAST(b AS INT) AS band_idx,
+                   count(*) AS bucket_df,
+                   CAST((count(*) * (count(*) - 1)) // 2 AS BIGINT)
+                       AS pairs_avoided
+            FROM u GROUP BY b, v HAVING count(*) > 8
+        """
     ivf = _ivf_oracle_sql()
     if ivf is not None:
         out["ivf_topk"] = ivf
@@ -2484,7 +2593,11 @@ def oracle_sql() -> dict[str, str]:
                        range(1, greatest(len(hs) - 15, 1) + 1),
                        j -> list_min(hs[j:j+15]))) AS fp
             FROM h
-        ), e AS (SELECT doc_id, len(fp) AS n_fp, unnest(fp) AS h FROM w)
+        ), e0 AS (SELECT doc_id, len(fp) AS n_fp, unnest(fp) AS h FROM w
+        ), e AS (
+            -- stop-hash cap twin (max_bucket_df=64 in the Spark query)
+            SELECT * FROM e0 QUALIFY count(*) OVER (PARTITION BY h) <= 64
+        )
         SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared,
                round(count(*) / CAST(any_value(l.n_fp) + any_value(r.n_fp)
                                      - count(*) AS DOUBLE), 4) AS fp_jaccard

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Mersenne prime for the affine minhash family; hashes are first reduced
 # mod 2^31 so the affine map a*h+b stays far below int64 (ANSI overflow)
@@ -135,29 +136,54 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_n: int = 3,
-    base_hash=None,
+def _cap_bucket_df(
+    bucketed: DataFrame, keys: list[str], max_bucket_df: int | None
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH.
+    """Stop-hash guard for the candidate-pair generators: drop every bucket
+    whose document frequency exceeds `max_bucket_df` BEFORE the bucket
+    self-join. Pairs within a bucket are quadratic in bucket size, so at
+    corpus scale one hot hash (a license header, a templated page, boiler-
+    plate shared by 10^5 docs) turns into 10^10 pairs inside a single
+    straggler task; a df cap bounds per-bucket work at max_bucket_df^2/2.
+    The window count partitions on the SAME keys the self-join shuffles on,
+    so the cap rides the exchange the join already needs (no extra
+    shuffle). None disables the cap (exact small-scale behavior)."""
+    if max_bucket_df is None:
+        return bucketed
+    w = Window.partitionBy(*keys)
+    return (
+        bucketed.withColumn("_bdf", F.count("*").over(w))
+        .filter(F.col("_bdf") <= F.lit(max_bucket_df))
+        .drop("_bdf")
+    )
 
-    Plan (shuffle diet, round-2): the banded self-join carries ONLY
-    (id, band_idx, band_hash) — signatures never ride the band shuffle
-    (round 1 duplicated the 32-long sig 2x bands times through it). The
-    (id_a, id_b) candidates are distinct()ed FIRST, then one re-join per
-    side fetches the two signatures for est_jaccard. The signature subtree
-    is built three times in the plan, but Spark's ReuseExchange collapses
-    the identical shuffle; and since `sig` is groupBy(id)-partitioned, the
-    id_a/id_b joins reuse that partitioning instead of re-shuffling the
-    big side."""
+
+def hot_bucket_report(
+    bucketed: DataFrame, keys: list[str], max_bucket_df: int
+) -> DataFrame:
+    """Dropped-mass report companion to `_cap_bucket_df`: per over-cap
+    bucket, its document frequency and the pair count the cap avoided
+    (df*(df-1)/2). Run alongside a capped pair generation so the dropped
+    mass is OBSERVED, never silent (a curation run should log/persist it
+    and alert when pairs_avoided is a large fraction of the corpus)."""
+    return (
+        bucketed.groupBy(*keys)
+        .agg(F.count("*").alias("bucket_df"))
+        .filter(F.col("bucket_df") > F.lit(max_bucket_df))
+        .withColumn(
+            "pairs_avoided",
+            (F.col("bucket_df") * (F.col("bucket_df") - 1) / 2).cast("long"),
+        )
+    )
+
+
+def minhash_band_table(
+    sig: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(id, band_idx, band_hash) banded projection of a minhash-signature
+    table — the bucket table minhash LSH self-joins on."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, base_hash)
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.transform(
@@ -177,6 +203,57 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
+
+
+def minhash_hot_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    base_hash=None,
+    max_bucket_df: int = 1000,
+) -> DataFrame:
+    """(band_idx, band_hash, bucket_df, pairs_avoided) for every band
+    bucket a `minhash_lsh_pairs(..., max_bucket_df=...)` run would drop."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, base_hash)
+    banded = minhash_band_table(sig, num_hashes, bands)
+    return hot_bucket_report(banded, ["band_idx", "band_hash"], max_bucket_df)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    base_hash=None,
+    max_bucket_df: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Plan (shuffle diet, round-2): the banded self-join carries ONLY
+    (id, band_idx, band_hash) — signatures never ride the band shuffle
+    (round 1 duplicated the 32-long sig 2x bands times through it). The
+    (id_a, id_b) candidates are distinct()ed FIRST, then one re-join per
+    side fetches the two signatures for est_jaccard. The signature subtree
+    is built three times in the plan, but Spark's ReuseExchange collapses
+    the identical shuffle; and since `sig` is groupBy(id)-partitioned, the
+    id_a/id_b joins reuse that partitioning instead of re-shuffling the
+    big side.
+
+    `max_bucket_df` is the stop-hash cap (see `_cap_bucket_df`): buckets
+    with more than that many member docs are dropped before the self-join
+    so boilerplate-hot band hashes can't go quadratic at corpus scale;
+    `minhash_hot_buckets` reports the dropped mass."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, base_hash)
+    banded = _cap_bucket_df(
+        minhash_band_table(sig, num_hashes, bands),
+        ["band_idx", "band_hash"],
+        max_bucket_df,
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -256,19 +333,13 @@ def _rotl64(col: Column, r: int) -> Column:
     return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
 
 
-def simhash_bucket_pairs(
-    sh: DataFrame, prefix_bits: int = 16, rotations: int = 4,
+def simhash_bucket_table(
+    sh: DataFrame, prefix_bits: int = 16, rotations: int = 4
 ) -> DataFrame:
-    """Candidate pairs from a (id, simhash) table via the rotation scheme
-    (Manku et al., WWW'07): bucket on the top `prefix_bits` of each of
-    `rotations` rotated copies of the simhash, then self-join per
-    (rotation, bucket). A pair within Hamming distance d collides in at
-    least one table whenever the d differing bits avoid one rotation's
-    prefix window — with 4 rotations of 16 bits, any 1-2-bit difference
-    always survives in some table (round 1 used ONE table and missed
-    flips landing in the prefix)."""
+    """(id, simhash, rot, bucket) rotation-bucket projection of a
+    (id, simhash) table — the bucket table the rotation scheme joins on."""
     step = 64 // rotations
-    bucketed = sh.select(
+    return sh.select(
         "id",
         "simhash",
         F.explode(
@@ -283,6 +354,42 @@ def simhash_bucket_pairs(
             ])
         ).alias("rb"),
     ).select("id", "simhash", "rb.rot", "rb.bucket")
+
+
+def simhash_hot_buckets(
+    sh: DataFrame,
+    prefix_bits: int = 16,
+    rotations: int = 4,
+    max_bucket_df: int = 1000,
+) -> DataFrame:
+    """(rot, bucket, bucket_df, pairs_avoided) for every rotation bucket a
+    `simhash_bucket_pairs(..., max_bucket_df=...)` run would drop."""
+    bucketed = simhash_bucket_table(sh, prefix_bits, rotations).drop("simhash")
+    return hot_bucket_report(bucketed, ["rot", "bucket"], max_bucket_df)
+
+
+def simhash_bucket_pairs(
+    sh: DataFrame, prefix_bits: int = 16, rotations: int = 4,
+    max_bucket_df: int | None = None,
+) -> DataFrame:
+    """Candidate pairs from a (id, simhash) table via the rotation scheme
+    (Manku et al., WWW'07): bucket on the top `prefix_bits` of each of
+    `rotations` rotated copies of the simhash, then self-join per
+    (rotation, bucket). A pair within Hamming distance d collides in at
+    least one table whenever the d differing bits avoid one rotation's
+    prefix window — with 4 rotations of 16 bits, any 1-2-bit difference
+    always survives in some table (round 1 used ONE table and missed
+    flips landing in the prefix).
+
+    `max_bucket_df` is the stop-hash cap (see `_cap_bucket_df`) — a hot
+    rotation bucket (identical boilerplate => identical simhash prefix)
+    is dropped from EVERY table it exceeds the cap in, bounding per-bucket
+    join work; `simhash_hot_buckets` reports the dropped mass."""
+    bucketed = _cap_bucket_df(
+        simhash_bucket_table(sh, prefix_bits, rotations),
+        ["rot", "bucket"],
+        max_bucket_df,
+    )
     l, r = bucketed.alias("l"), bucketed.alias("r")
     return (
         l.join(r, on=[F.col("l.rot") == F.col("r.rot"),
@@ -299,16 +406,37 @@ def simhash_bucket_pairs(
 def simhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     prefix_bits: int = 16, rotations: int = 4,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: simhash + rotation-scheme bucketing (see
     simhash_bucket_pairs). rotations=1 degrades to the single-prefix table."""
     return simhash_bucket_pairs(
-        simhash_table(df, text_col, id_col), prefix_bits, rotations
+        simhash_table(df, text_col, id_col), prefix_bits, rotations,
+        max_bucket_df=max_bucket_df,
     )
 
 
 def _hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def fingerprint_hot_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 16,
+    base_hash=None,
+    max_bucket_df: int = 1000,
+) -> DataFrame:
+    """(h, bucket_df, pairs_avoided) for every winnowing hash a
+    `fingerprint_pairs(..., max_bucket_df=...)` run would drop."""
+    from ner_ocr_spark.operators.textstats import fingerprint
+
+    fp = fingerprint(df.select(id_col, text_col), text_col=text_col,
+                     k=k, window=window, base_hash=base_hash)
+    hashes = fp.select(F.col(id_col).alias("id"), F.explode("fingerprint").alias("h"))
+    return hot_bucket_report(hashes, ["h"], max_bucket_df)
 
 
 def fingerprint_pairs(
@@ -319,6 +447,7 @@ def fingerprint_pairs(
     window: int = 16,
     min_shared: int = 2,
     base_hash=None,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Containment/plagiarism candidate pairs via WINNOWING fingerprints
     (the 5th dedup family, complementing exact/MinHash/SimHash/Jaccard):
@@ -328,7 +457,14 @@ def fingerprint_pairs(
     its k-gram count), so the join input is a small fraction of the text,
     and pairs count shared hashes with one aggregate. Catches asymmetric
     CONTAINMENT (a paragraph lifted into a larger doc) that whole-document
-    Jaccard/minhash dilutes away."""
+    Jaccard/minhash dilutes away.
+
+    `max_bucket_df` is the stop-hash cap (see `_cap_bucket_df`): a
+    winnowing hash shared by more docs than the cap (license header,
+    templated boilerplate) is dropped before the self-join — stop-hash
+    semantics, so surviving pairs count only retained hashes in n_shared
+    (fp_jaccard keeps the FULL fingerprint sizes in its denominator);
+    `fingerprint_hot_hashes` reports the dropped mass."""
     from ner_ocr_spark.operators.textstats import fingerprint
 
     fp = fingerprint(df.select(id_col, text_col), text_col=text_col,
@@ -344,10 +480,14 @@ def fingerprint_pairs(
     # cached table is tiny (id + ~2/window of the k-gram count as longs)
     # and BOTH join sides read it, so fingerprints compute exactly once.
     fp = fp.select(F.col(id_col).alias("id"), "fingerprint").persist()
-    hashes = fp.select(
-        "id",
-        F.size("fingerprint").alias("n_fp"),
-        F.explode("fingerprint").alias("h"),
+    hashes = _cap_bucket_df(
+        fp.select(
+            "id",
+            F.size("fingerprint").alias("n_fp"),
+            F.explode("fingerprint").alias("h"),
+        ),
+        ["h"],
+        max_bucket_df,
     )
     l, r = hashes.alias("l"), hashes.alias("r")
     shared = F.count("*")

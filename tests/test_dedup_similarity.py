@@ -290,3 +290,88 @@ def test_fingerprint_pairs_containment(spark):
     assert pair["n_shared"] >= 2
     assert 0.0 < pair["fp_jaccard"] <= 1.0
     assert (1, 3) not in got  # unrelated docs share nothing
+
+
+# --- stop-hash / bucket-df cap (round-5 scale hardening) -------------------
+
+HOT = ("license header boilerplate the same in every file permission is "
+       "hereby granted free of charge to any person obtaining a copy")
+N_HOT = 400
+
+
+def _skew_corpus(spark):
+    """N_HOT identical boilerplate docs (ids 0..N_HOT-1) + a near-dup pair
+    (1000, 1001) + one unrelated doc (1002) — the hot-bucket shape one
+    templated page produces at corpus scale."""
+    rows = [(i, HOT) for i in range(N_HOT)] + [
+        (1000, BASE),
+        (1001, BASE.replace("tonight", "tomorrow")),
+        (1002, "entirely unrelated words about catalyst tungsten arrow "
+               "shuffle partitions and adaptive query execution plans"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_stop_hash_cap_bounds_hot_bucket(spark):
+    """With the cap, the 400-doc hot bucket generates ZERO pairs (bounded
+    join work — uncapped it alone is 79,800 pairs) while genuine near-dups
+    outside it are still found; the dropped mass is reported, not silent."""
+    from ner_ocr_spark.operators.dedup import minhash_hot_buckets
+
+    docs = _skew_corpus(spark)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, max_bucket_df=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert all(a >= 1000 or b >= 1000 for a, b in got)  # hot bucket dropped
+    assert (1000, 1001) in got  # cold near-dup still found
+    report = minhash_hot_buckets(
+        docs, num_hashes=16, bands=4, max_bucket_df=8
+    ).collect()
+    # every band sees the identical-sig bucket: df=400, avoided=79,800
+    assert len(report) == 4
+    assert {r["bucket_df"] for r in report} == {N_HOT}
+    assert {r["pairs_avoided"] for r in report} == {N_HOT * (N_HOT - 1) // 2}
+
+
+def test_simhash_stop_hash_cap(spark):
+    from ner_ocr_spark.operators.dedup import (
+        simhash_hot_buckets,
+        simhash_table,
+    )
+
+    docs = _skew_corpus(spark)
+    pairs = simhash_candidates(docs, max_bucket_df=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert all(a >= 1000 or b >= 1000 for a, b in got)
+    assert (1000, 1001) in got  # 1-word flip survives the rotation scheme
+    report = simhash_hot_buckets(
+        simhash_table(docs), max_bucket_df=8
+    ).collect()
+    # identical docs share the simhash => one df-400 bucket per rotation
+    assert len(report) == 4
+    assert {r["bucket_df"] for r in report} == {N_HOT}
+
+
+def test_fingerprint_stop_hash_cap(spark):
+    """Stop-hash semantics: hashes above the cap stop contributing to
+    n_shared; the all-identical block's pairs (sharing ONLY hot hashes)
+    vanish, the containment pair below the cap survives."""
+    from ner_ocr_spark.operators.dedup import (
+        fingerprint_hot_hashes,
+        fingerprint_pairs,
+    )
+
+    para = ("the quick brown fox jumps over the lazy dog while the green "
+            "table stands near the old stone house by the river")
+    rows = [(i, HOT) for i in range(50)] + [
+        (1000, para),
+        (1001, "unrelated filler words " + para + " trailing filler words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           fingerprint_pairs(docs, min_shared=2, max_bucket_df=8).collect()}
+    assert all(a >= 1000 or b >= 1000 for a, b in got)
+    assert (1000, 1001) in got
+    report = fingerprint_hot_hashes(docs, max_bucket_df=8).collect()
+    assert report  # the boilerplate hashes are reported...
+    assert {r["bucket_df"] for r in report} == {50}  # ...at df = block size
+    assert {r["pairs_avoided"] for r in report} == {50 * 49 // 2}
