@@ -206,6 +206,25 @@ def make_ocr_stage(
                     else:
                         page_imgs = [(0, raw)]
                     for page_base, png in page_imgs:
+                        if isinstance(png, str):
+                            # born-digital PDF page: the rasterizer hook
+                            # (pdfio_page_source) extracted the text layer
+                            # directly — emit its lines EXACTLY, score 1.0,
+                            # no OCR (cheaper AND error-free vs the
+                            # reference's rasterize-then-OCR for these
+                            # pages). A text page with no lines mirrors
+                            # the no-lines OCR row.
+                            tlines = [l for l in png.split("\n") if l]
+                            if not tlines:
+                                emit(row.doc_id, int(row.span_idx),
+                                     base + page_base, None, row.media_ref,
+                                     None, 0.0, None, kind=rk)
+                            for li, tline in enumerate(tlines):
+                                emit(row.doc_id, int(row.span_idx),
+                                     base + page_base + li, tline,
+                                     row.media_ref, None, 1.0, None,
+                                     kind=rk)
+                            continue
                         lines = ocr.ocr_page(bytes(png), max_side_limit)
                         t_lines = None
                         if refine_below is not None and lines and any(
@@ -310,9 +329,9 @@ def make_refine_stage(
 
     resolver = blob_resolver or (lambda ref: corpus.render_media_blob(ref))
     if pdf_rasterizer == "auto":
-        from ner_ocr_spark.operators.pdf import default_rasterizer
+        from ner_ocr_spark.operators.pdf import default_page_source
 
-        pdf_rasterizer = default_rasterizer()
+        pdf_rasterizer = default_page_source()
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import OrderedDict
@@ -335,7 +354,11 @@ def make_refine_stage(
                 return page_cache[ref]
             raw = bytes(payload) if payload is not None else bytes(resolver(ref))
             if pdf_rasterizer is not None and raw[:5] == b"%PDF-":
-                pages = [bytes(p) for p in pdf_rasterizer(raw, pdf_zoom)]
+                # text pages (str from pdfio_page_source) ride through as
+                # str — refined_lines skips them (their first-pass rows are
+                # exact, score 1.0; nothing to refine)
+                pages = [p if isinstance(p, str) else bytes(p)
+                         for p in pdf_rasterizer(raw, pdf_zoom)]
                 if pdf_max_pages is not None:
                     pages = pages[: int(pdf_max_pages)]
             else:
@@ -352,7 +375,7 @@ def make_refine_stage(
                 return line_cache[key]
             try:
                 pages = page_list(ref, payload)
-                if page >= len(pages):
+                if page >= len(pages) or isinstance(pages[page], str):
                     lines = []
                 else:
                     gray = ocr.bounded_resize(

@@ -79,6 +79,24 @@ def default_rasterizer() -> Rasterizer | None:
     return rasterize
 
 
+def default_page_source() -> Rasterizer | None:
+    """The PIPELINE's default pdf hook (extract_spans / make_refine_stage
+    "auto"): pypdfium2 rasterization when installed (the reference's
+    backend — renders every page including born-digital ones), else
+    pdfio.pdfio_page_source, which returns image pages as PNG bytes AND
+    born-digital text pages as str (the OCR stage emits those lines
+    directly, skipping OCR). pdf_to_pages keeps default_rasterizer — its
+    output column is binary, so text pages stay out-of-subset errors
+    there."""
+    try:
+        import pypdfium2  # noqa: F401 — optional dependency
+    except ImportError:
+        from ner_ocr_spark.pdfio import pdfio_page_source
+
+        return pdfio_page_source
+    return default_rasterizer()
+
+
 def make_pdf_stage(
     rasterizer: Rasterizer | None = None,
     blob_resolver: Callable[[str], bytes] | None = None,

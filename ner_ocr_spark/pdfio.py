@@ -163,8 +163,19 @@ class _Scanner:
                     break
                 e = d[self.pos]
                 self.pos += 1
-                mapped = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
-                out.append(mapped.get(e, e))
+                if e in b"01234567":  # \ddd octal (1-3 digits)
+                    code = e - 0x30
+                    for _ in range(2):
+                        if self.pos < n and d[self.pos] in b"01234567":
+                            code = code * 8 + (d[self.pos] - 0x30)
+                            self.pos += 1
+                    out.append(code & 0xFF)
+                elif e in b"\r\n":  # line continuation: \<eol> is dropped
+                    if e == 0x0D and self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    mapped = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
+                    out.append(mapped.get(e, e))
             elif c == 0x28:
                 depth += 1
                 out.append(c)
@@ -215,17 +226,10 @@ class _Scanner:
 _OBJ_RE = re.compile(rb"(?<![0-9])(\d+)\s+(\d+)\s+obj\b")
 
 
-def _parse_objects(blob: bytes) -> dict[int, tuple[object, bytes | None]]:
-    """All indirect objects as {num: (value, stream_bytes|None)}.
-
-    Brute-force scan instead of xref-table walking: immune to broken or
-    appended xrefs. Later definitions of the same object number win
-    (incremental-update semantics) — with "later" judged by byte position,
-    and matches whose `N G obj` happens to fall INSIDE an established
-    stream payload skipped (round-3 advice: compressed bytes can fake the
-    token and would otherwise shadow a real object). `/Type /ObjStm`
-    containers are expanded after the direct scan: their member objects
-    join the map at the container's byte position."""
+def _scan_objects(blob: bytes):
+    """Pass 1 of _parse_objects: the direct brute scan, WITHOUT /ObjStm
+    expansion. Returns (objs, pos_of) so the encryption layer can decrypt
+    container streams before expansion."""
     if blob[:5] != b"%PDF-":
         raise PdfError("not a PDF (missing %PDF- header)")
     # pass 1: direct scan, skipping matches inside known stream extents.
@@ -297,8 +301,32 @@ def _parse_objects(blob: bytes) -> dict[int, tuple[object, bytes | None]]:
                 stream = blob[stream_start : stream_start + length]
         out[num] = (value, stream)
 
-    # pass 2: expand object streams (PDF 1.5+). Members carry the
-    # container's byte position for later-definition-wins.
+    return out, pos_of
+
+
+def _parse_objects(blob: bytes) -> dict[int, tuple[object, bytes | None]]:
+    """All indirect objects as {num: (value, stream_bytes|None)}.
+
+    Brute-force scan instead of xref-table walking: immune to broken or
+    appended xrefs. Later definitions of the same object number win
+    (incremental-update semantics) — with "later" judged by byte position,
+    and matches whose `N G obj` happens to fall INSIDE an established
+    stream payload skipped (round-3 advice: compressed bytes can fake the
+    token and would otherwise shadow a real object). `/Type /ObjStm`
+    containers are expanded after the direct scan: their member objects
+    join the map at the container's byte position."""
+    out, pos_of = _scan_objects(blob)
+    _expand_objstms(out, pos_of)
+    if not out:
+        raise PdfError("no indirect objects found")
+    return out
+
+
+def _expand_objstms(out: dict, pos_of: dict[int, int]) -> None:
+    """Pass 2: expand /ObjStm containers (PDF 1.5+) in place. Members
+    carry the container's byte position for later-definition-wins. Split
+    from _parse_objects so encrypted files can decrypt the container
+    stream BETWEEN the direct scan and this expansion."""
     for num, (value, stream) in list(out.items()):
         if not (isinstance(value, dict) and value.get("Type") == "ObjStm"):
             continue
@@ -315,9 +343,6 @@ def _parse_objects(blob: bytes) -> dict[int, tuple[object, bytes | None]]:
             if mnum not in pos_of or base >= pos_of[mnum]:
                 out[mnum] = (mval, None)
                 pos_of[mnum] = base
-    if not out:
-        raise PdfError("no indirect objects found")
-    return out
 
 
 def _decode_stream(objs_or_none, sdict: dict, stream: bytes) -> bytes:
@@ -379,14 +404,11 @@ def _trailer_root(blob: bytes, objs) -> int:
         try:
             tr = _Scanner(blob, m.end()).parse()
             if isinstance(tr, dict):
-                if "Encrypt" in tr:
-                    raise PdfError("encrypted PDF unsupported")
                 root = tr.get("Root")
                 if isinstance(root, Ref):
                     return root.num
-        except PdfError as e:
-            if "encrypted" in str(e):
-                raise
+        except PdfError:
+            pass
     # PDF 1.5+: the LAST startxref points at the newest cross-reference
     # STREAM — resolve through it first (object-number order is not
     # update order when an incremental writer reuses freed numbers)
@@ -404,8 +426,6 @@ def _trailer_root(blob: bytes, objs) -> int:
             if isinstance(value, dict) and value.get("Type") == "XRef"
         ]
     for _, value in sorted(xref_candidates, key=lambda t: -t[0]):
-        if "Encrypt" in value:
-            raise PdfError("encrypted PDF unsupported")
         root = value.get("Root")
         if isinstance(root, Ref):
             return root.num
@@ -421,6 +441,120 @@ def _deref(objs, v):
             raise PdfError(f"dangling reference to object {v.num}")
         v = objs[v.num][0]
     return v
+
+
+def _find_encrypt(blob: bytes, objs) -> tuple[dict, bytes] | None:
+    """(/Encrypt dict, first file /ID) when the document is encrypted,
+    else None — read from the last classic trailer, falling back to
+    cross-reference stream dicts (PDF 1.5+). The /Encrypt dict and the
+    trailer itself are never encrypted, so this runs on the raw scan."""
+    def from_dict(tr: dict):
+        enc = tr.get("Encrypt")
+        if enc is None:
+            return None
+        try:
+            enc = _deref(objs, enc)
+        except PdfError:
+            enc = None
+        if not isinstance(enc, dict):
+            # the trailer CLAIMS encryption but the dict is missing or
+            # malformed: fail closed — if the claim were true, every
+            # stream would decode as garbage
+            raise PdfError("encrypted PDF: malformed /Encrypt dictionary")
+        id0 = b""
+        ids = tr.get("ID")
+        if isinstance(ids, list) and ids:
+            first = ids[0]
+            if isinstance(first, (bytes, bytearray)):
+                id0 = bytes(first)
+        return enc, id0
+
+    m = None
+    for m in re.finditer(rb"trailer", blob):
+        pass
+    if m is not None:
+        tr = None
+        try:
+            tr = _Scanner(blob, m.end()).parse()
+        except PdfError:
+            pass
+        if isinstance(tr, dict):
+            got = from_dict(tr)  # raises on a claimed-but-malformed dict
+            if got is not None:
+                return got
+    for _, (value, _s) in sorted(objs.items()):
+        if isinstance(value, dict) and value.get("Type") == "XRef":
+            got = from_dict(value)
+            if got is not None:
+                return got
+    return None
+
+
+def _decrypt_objects(objs, enc: dict, id0: bytes) -> None:
+    """Standard security handler, EMPTY user password only (the common
+    "encrypted but openable by anyone" shape): authenticate, derive the
+    file key, and decrypt every stream payload in place (RC4 for /V 1-2
+    and /V4+/CFM /V2; AES-128-CBC for /V4+/CFM /AESV2). Cross-reference
+    streams are never encrypted (spec) and are skipped. Fails CLOSED with
+    distinct messages for non-Standard handlers, /V5 (AES-256), and
+    non-empty user passwords — absorbed per row by the pipeline. Subset
+    note: the brute scan keeps generation 0 for every object, so per-
+    object keys assume gen 0 (re-used generations are vanishingly rare)."""
+    from ner_ocr_spark import crypto
+
+    filt = enc.get("Filter")
+    if filt != "Standard":
+        raise PdfError(
+            f"encrypted PDF: security handler {str(filt)!r} unsupported"
+        )
+    v = _deref(objs, enc.get("V", 0)) or 0
+    r = _deref(objs, enc.get("R", 2)) or 2
+    if v not in (1, 2, 4) or r not in (2, 3, 4):
+        raise PdfError(
+            f"encrypted PDF: /V {v} /R {r} unsupported (AES-256 /V5?)"
+        )
+    length = _deref(objs, enc.get("Length", 40)) or 40
+    key_len = length // 8 if length >= 40 else int(length)
+    aes = False
+    if v == 4:
+        cf = _deref(objs, enc.get("CF", {})) or {}
+        stmf = str(_deref(objs, enc.get("StmF", Name("Identity"))))
+        if stmf == "Identity":
+            return  # streams are not encrypted under Identity
+        cfd = _deref(objs, cf.get(stmf, {})) or {}
+        cfm = str(cfd.get("CFM", "None"))
+        if cfm == "AESV2":
+            aes = True
+        elif cfm != "V2":
+            raise PdfError(f"encrypted PDF: /CFM {cfm} unsupported")
+        cl = _deref(objs, cfd.get("Length", length))
+        if isinstance(cl, int) and cl:
+            # ISO says bytes; older writers put bits — accept either
+            key_len = cl // 8 if cl >= 40 else cl
+    o_entry = enc.get("O")
+    u_entry = enc.get("U")
+    p = _deref(objs, enc.get("P", -1))
+    if not isinstance(o_entry, (bytes, bytearray)) or not isinstance(
+        u_entry, (bytes, bytearray)
+    ):
+        raise PdfError("encrypted PDF: malformed /O//U entries")
+    key = crypto.check_user_password(
+        b"", bytes(o_entry), bytes(u_entry), int(p), id0, r, key_len
+    )
+    if key is None:
+        raise PdfError("encrypted PDF: non-empty user password required")
+    for num, (value, stream) in list(objs.items()):
+        if stream is None:
+            continue
+        if isinstance(value, dict) and value.get("Type") == "XRef":
+            continue
+        ok = crypto.object_key(key, num, 0, aes)
+        try:
+            dec = (crypto.aes128_cbc_decrypt(ok, bytes(stream)) if aes
+                   else crypto.rc4(ok, bytes(stream)))
+        except Exception as e:  # noqa: BLE001 — corrupt ciphertext
+            raise PdfError(f"object {num}: decryption failed ({e})") from e
+        objs[num] = (value, dec)
 
 
 _INHERITABLE = ("Rotate", "MediaBox", "Resources")
@@ -880,6 +1014,17 @@ def _inline_segments(
     return segs, dead
 
 
+def _mat_mul(m1, m2):
+    """2-D affine (a b c d e f) composition: apply m1 then m2."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2,
+    )
+
+
 def _draw_ops(objs, page: dict):
     """([(name, CTM)] in content order, {inline_name: (dict, payload)}):
     every image draw — `/Name Do` XObject placements AND BI..ID..EI
@@ -896,16 +1041,7 @@ def _draw_ops(objs, page: dict):
         blanked[s:e2] = b" " * (e2 - s)
     data = bytes(blanked)
     ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
-
-    def mul(m1, m2):  # apply m1 then m2
-        a1, b1, c1, d1, e1, f1 = m1
-        a2, b2, c2, d2, e2, f2 = m2
-        return (
-            a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
-            c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
-            e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2,
-        )
-
+    mul = _mat_mul
     ctm, stack = ident, []
     nums: list[float] = []
     last_name = None
@@ -999,82 +1135,528 @@ def _compose_page(objs, images: dict, draws: list, media) -> np.ndarray:
     return canvas
 
 
-def extract_page_images(blob: bytes) -> list[np.ndarray]:
-    """PDF bytes -> one grayscale uint8 array per page, in page-tree order.
+# ---------------------------------------------------------------------------
+# vector-text pages (born-digital PDFs)
+#
+# The reference rasterizes EVERY page and OCRs the bitmap
+# (/root/reference/src/pdf_processing.py:21-73, pypdfium2 render). For pages
+# whose content is text-showing operators rather than a scanned image,
+# extracting the Tj/TJ runs directly is both cheaper and exact — those pages
+# skip OCR entirely. Subset: simple fonts (WinAnsi/MacRoman/Standard base
+# encodings, /Differences overrides, /ToUnicode CMaps) and Type0 fonts WITH
+# a /ToUnicode CMap; Type0 without one is undecodable and fails the page
+# closed (absorbed per row).
 
-    Subset semantics: each page contributes its single image XObject (the
-    scanned-document shape). A page with NO image XObject is out of subset
-    — it needs a real rasterizer — and raises PdfError; zero-page documents
-    return []."""
+
+# WinAnsiEncoding tracks cp1252 for every defined code point; the five
+# cp1252 holes (0x81 8D 8F 90 9D) are undefined in WinAnsi too.
+def _winansi_table() -> dict[int, str]:
+    out = {}
+    for b in range(32, 256):
+        try:
+            out[b] = bytes([b]).decode("cp1252")
+        except UnicodeDecodeError:
+            pass
+    return out
+
+
+def _macroman_table() -> dict[int, str]:
+    out = {}
+    for b in range(32, 256):
+        try:
+            out[b] = bytes([b]).decode("mac-roman")
+        except UnicodeDecodeError:
+            pass
+    return out
+
+
+# Adobe-Glyph-List subset: the names /Differences arrays actually use for
+# Latin text (single-letter names map to themselves; uniXXXX is computed)
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "endash": "–", "emdash": "—",
+    "bullet": "•", "ellipsis": "…", "fi": "ﬁ",
+    "fl": "ﬂ", "germandbls": "ß", "eacute": "é",
+    "egrave": "è", "agrave": "à", "ccedilla": "ç",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "ntilde": "ñ", "idieresis": "ï", "degree": "°",
+    "sterling": "£", "Euro": "€", "copyright": "©",
+    "Omega": "Ω", "Delta": "Δ", "pi": "π", "mu": "µ",
+}
+
+
+def _glyph_char(name: str) -> str | None:
+    if len(name) == 1:
+        return name
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    return None
+
+
+def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """/ToUnicode CMap -> (code byte width, {code: unicode string}).
+    Handles begincodespacerange (width), bfchar, and both bfrange forms
+    (<lo> <hi> <dst> incrementing, and <lo> <hi> [<d0> <d1> ...])."""
+    nbytes = 1
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m:
+        hexes = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        if hexes:
+            nbytes = max(1, len(hexes[0]) // 2)
+    cmap: dict[int, str] = {}
+
+    def _u(hx: bytes) -> str:
+        raw = bytes.fromhex(hx.decode("ascii"))
+        return raw.decode("utf-16-be", "replace")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            cmap[int(src, 16)] = _u(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for lo, hi, one, many in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)*)\s*\])",
+            m.group(1),
+        ):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if many:
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", many)
+                for k, d in enumerate(dsts[: hi_i - lo_i + 1]):
+                    cmap[lo_i + k] = _u(d)
+            elif one:
+                width = len(one)
+                base = int(one, 16)
+                for k in range(hi_i - lo_i + 1):
+                    cmap[lo_i + k] = _u(b"%0*x" % (width, base + k))
+    return nbytes, cmap
+
+
+def _make_font_decoder(objs, fd: dict):
+    """Font dict -> fn(bytes) -> str, or None when undecodable (Type0
+    without /ToUnicode). Preference order: /ToUnicode CMap (authoritative
+    text mapping), else base encoding (+ /Differences overrides)."""
+    tu = fd.get("ToUnicode")
+    if isinstance(tu, Ref) and tu.num in objs:
+        value, stream = objs[tu.num]
+        if stream is not None:
+            try:
+                data = _decode_stream(
+                    objs, value if isinstance(value, dict) else {}, stream
+                )
+                nbytes, cmap = _parse_tounicode(data)
+                if cmap:
+                    def dec(bs: bytes, _m=cmap, _n=nbytes) -> str:
+                        return "".join(
+                            _m.get(int.from_bytes(bs[i : i + _n], "big"),
+                                   "�")
+                            for i in range(0, len(bs) - len(bs) % _n, _n)
+                        )
+                    return dec
+            except Exception:  # noqa: BLE001 — fall through to encodings
+                pass
+    if fd.get("Subtype") == "Type0":
+        return None  # CID codes without a ToUnicode map are opaque
+    enc = _deref(objs, fd.get("Encoding"))
+    if enc == "MacRomanEncoding":
+        table = _macroman_table()
+    elif isinstance(enc, dict):
+        base = enc.get("BaseEncoding")
+        table = (_macroman_table() if base == "MacRomanEncoding"
+                 else _winansi_table())
+        diffs = _deref(objs, enc.get("Differences"))
+        if isinstance(diffs, list):
+            code = 0
+            for item in diffs:
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, Name):
+                    ch = _glyph_char(str(item))
+                    if ch is not None:
+                        table[code] = ch
+                    code += 1
+    else:
+        # WinAnsi, or no /Encoding: StandardEncoding agrees with WinAnsi
+        # on ASCII, which is all an unmarked simple font uses in practice
+        table = _winansi_table()
+
+    def dec(bs: bytes, _t=table) -> str:
+        return "".join(_t.get(b, "�") for b in bs)
+
+    return dec
+
+
+def _font_decoders(objs, page: dict) -> dict[str, object]:
+    res = _deref(objs, page.get("Resources", {})) or {}
+    fonts = _deref(objs, res.get("Font", {})) or {}
+    out: dict[str, object] = {}
+    for name, ref in fonts.items():
+        fd = _deref(objs, ref)
+        if isinstance(fd, dict):
+            out[str(name)] = _make_font_decoder(objs, fd)
+    return out
+
+
+def _content_tokens(data: bytes):
+    """Content-stream token iterator: ('val', operand) for strings /
+    numbers / names / arrays / dicts (via _Scanner), ('op', keyword) for
+    operators. Unparseable bytes are skipped (absorbing, like _draw_ops)."""
+    sc = _Scanner(data, 0)
+    n = len(data)
+    while True:
+        sc._skip_ws()
+        if sc.pos >= n:
+            return
+        c = data[sc.pos]
+        if (c in b"([</+-.0123456789"
+                and not data[sc.pos : sc.pos + 2] in (b"<>",)):
+            try:
+                yield ("val", sc.parse())
+            except (PdfError, IndexError, ValueError):
+                sc.pos += 1
+            continue
+        start = sc.pos
+        while (sc.pos < n and data[sc.pos] not in _WS
+               and data[sc.pos] not in _DELIM):
+            sc.pos += 1
+        if sc.pos == start:
+            sc.pos += 1  # stray delimiter (] >) — skip
+            continue
+        yield ("op", data[start : sc.pos].decode("latin-1"))
+
+
+# a TJ kern gap at least this fraction of an em reads as a word space
+# (glyph space widths run 0.2-0.33 em; writers kern words apart instead of
+# emitting space glyphs)
+_KERN_SPACE_EM = 0.15
+
+
+def _page_text_lines(objs, page: dict, idx: int) -> list[str]:
+    """Positioned text lines of a page with no raster content, top-down,
+    left-to-right: a full text-state machine over the content stream
+    (BT/ET, Tf, Td/TD/Tm/T*/TL, Tj/'/\"/TJ with kern-gap word spacing)
+    tracking CTM x text matrix; runs are bucketed into lines by their
+    device-space baseline (tolerance scaled to the font size), ordered by
+    x within a line, and the /Rotate inherited attribute maps baseline
+    coords into display orientation first. Raises PdfError when the page
+    draws non-text content it cannot represent (undecodable font, or
+    path/shading operators with no text at all)."""
+    fonts = _font_decoders(objs, page)
+    raw = _content_bytes(objs, page)
+    if not raw.strip(bytes(_WS)):
+        return []  # blank page: no content operators at all
+    # blank inline-image payloads so binary bytes never tokenize (text
+    # pages should have none, but a dead BI section must still be skipped)
+    stripped = _strip_strings(raw)
+    segs, dead = _inline_segments(raw, stripped)
+    if segs or dead:
+        buf = bytearray(raw)
+        for s, e, _, _ in segs:
+            buf[s:e] = b" " * (e - s)
+        for s, e in dead:
+            buf[s:e] = b" " * (e - s)
+        raw = bytes(buf)
+
+    ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    ctm, gsave = ident, []
+    tm = tlm = ident
+    tl = 0.0
+    fs = 0.0
+    dec = _NO_FONT = object()  # sentinel: no Tf yet -> latin-1 fallback
+    runs: list[tuple[float, float, int, str, float]] = []
+    seq = 0
+    saw_other_ops = False
+    operands: list = []
+
+    def decode_str(bs: bytes) -> str:
+        if dec is _NO_FONT:
+            return bs.decode("latin-1")
+        if dec is None:
+            raise PdfError(
+                f"page {idx}: font without ToUnicode/encoding — text "
+                "undecodable"
+            )
+        return dec(bs)
+
+    def show(text: str) -> None:
+        nonlocal seq
+        if not text:
+            return
+        trm = _mat_mul(tm, ctm)
+        fs_dev = abs(fs) * max(
+            (trm[2] ** 2 + trm[3] ** 2) ** 0.5, 1e-9
+        )
+        runs.append((trm[5], trm[4], seq, text, fs_dev))
+        seq += 1
+
+    for kind, tok in _content_tokens(raw):
+        if kind == "val":
+            operands.append(tok)
+            continue
+        op = tok
+        try:
+            if op == "q":
+                gsave.append(ctm)
+            elif op == "Q":
+                ctm = gsave.pop() if gsave else ident
+            elif op == "cm" and len(operands) >= 6:
+                ctm = _mat_mul(tuple(float(v) for v in operands[-6:]), ctm)
+            elif op == "BT":
+                tm = tlm = ident
+            elif op == "Tf" and len(operands) >= 2:
+                name = operands[-2]
+                fs = float(operands[-1])
+                dec = fonts.get(str(name)) if isinstance(name, Name) else None
+            elif op in ("Td", "TD") and len(operands) >= 2:
+                tx, ty = float(operands[-2]), float(operands[-1])
+                if op == "TD":
+                    tl = -ty
+                tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, tx, ty), tlm)
+                tm = tlm
+            elif op == "Tm" and len(operands) >= 6:
+                tm = tlm = tuple(float(v) for v in operands[-6:])
+            elif op == "T*":
+                tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -tl), tlm)
+                tm = tlm
+            elif op == "TL" and operands:
+                tl = float(operands[-1])
+            elif op == "Tj" and operands and isinstance(operands[-1], bytes):
+                show(decode_str(operands[-1]))
+            elif op == "'" and operands and isinstance(operands[-1], bytes):
+                tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -tl), tlm)
+                tm = tlm
+                show(decode_str(operands[-1]))
+            elif op == '"' and len(operands) >= 3:
+                tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -tl), tlm)
+                tm = tlm
+                show(decode_str(operands[-1]))
+            elif op == "TJ" and operands and isinstance(operands[-1], list):
+                parts: list[str] = []
+                for el in operands[-1]:
+                    if isinstance(el, bytes):
+                        parts.append(decode_str(el))
+                    elif isinstance(el, (int, float)):
+                        # kern gap >= _KERN_SPACE_EM em reads as a space
+                        if -float(el) / 1000.0 >= _KERN_SPACE_EM:
+                            parts.append(" ")
+                show("".join(parts))
+            elif op not in ("ET", "Tc", "Tw", "Tz", "Ts", "Tr", "BDC",
+                            "EMC", "BMC", "MP", "DP", "gs", "cs", "CS",
+                            "sc", "SC", "scn", "SCN", "g", "G", "rg",
+                            "RG", "k", "K", "w", "J", "j", "M", "d",
+                            "ri", "i"):
+                saw_other_ops = True
+        except PdfError:
+            raise
+        except Exception:  # noqa: BLE001 — malformed operands: skip the op
+            pass
+        operands = []
+
+    if not runs:
+        if saw_other_ops:
+            raise PdfError(
+                f"page {idx}: vector-graphics page without text is outside "
+                "the extractor subset; plug a rasterizer (pypdfium2) via "
+                "rasterizer="
+            )
+        return []
+
+    # /Rotate-aware display coords: (dx across, dy down), so line grouping
+    # and ordering match what a viewer (or the raster path) presents
+    media = _deref(objs, page.get("MediaBox")) or None
+    if isinstance(media, list) and len(media) == 4:
+        mx0, my0, mx1, my1 = (float(_deref(objs, v)) for v in media)
+    else:
+        xs = [x for _, x, _, _, _ in runs]
+        ys = [y for y, _, _, _, _ in runs]
+        mx0, my0, mx1, my1 = min(xs), min(ys), max(xs), max(ys)
+    rot = _deref(objs, page.get("Rotate", 0)) or 0
+    if not isinstance(rot, int) or rot % 90:
+        raise PdfError(f"page {idx}: bad /Rotate {rot!r}")
+    rot %= 360
+
+    def display(x: float, y: float) -> tuple[float, float]:
+        if rot == 90:
+            return (y - my0, x - mx0)
+        if rot == 180:
+            return (mx1 - x, y - my0)
+        if rot == 270:
+            return (my1 - y, mx1 - x)
+        return (x - mx0, my1 - y)
+
+    placed = []
+    for y, x, sq, text, fs_dev in runs:
+        dx, dy = display(x, y)
+        placed.append((dy, dx, sq, text, fs_dev))
+    placed.sort(key=lambda r: (r[0], r[1], r[2]))
+    lines: list[str] = []
+    cur: list[tuple[float, str]] = []
+    cur_dy = None
+    for dy, dx, sq, text, fs_dev in placed:
+        tol = max(2.0, 0.5 * fs_dev)
+        if cur_dy is None or dy - cur_dy > tol:
+            if cur:
+                joined = " ".join(t for _, t in cur).strip()
+                if joined:
+                    lines.append(joined)
+            cur, cur_dy = [], dy
+        cur.append((dx, text))
+    if cur:
+        joined = " ".join(t for _, t in cur).strip()
+        if joined:
+            lines.append(joined)
+    return lines
+
+
+def _open_pdf(blob: bytes):
+    """blob -> (objs, [page dict] in page-tree order). Encrypted files
+    (standard handler, empty user password) decrypt transparently: the
+    decrypt pass runs BETWEEN the direct scan and /ObjStm expansion, so
+    encrypted containers expand from plaintext."""
     blob = bytes(blob)
-    objs = _parse_objects(blob)
+    objs, pos_of = _scan_objects(blob)
+    found = _find_encrypt(blob, objs)
+    if found is not None:
+        _decrypt_objects(objs, *found)
+    _expand_objstms(objs, pos_of)
+    if not objs:
+        raise PdfError("no indirect objects found")
     root = _deref(objs, objs[_trailer_root(blob, objs)][0])
     pages: list[dict] = []
     _walk_pages(objs, root.get("Pages"), pages)
+    return objs, pages
+
+
+def _page_bitmap(objs, page: dict, idx: int) -> np.ndarray | None:
+    """Composited grayscale bitmap of one page, or None when the page
+    draws no raster image at all (the born-digital case — see
+    _page_text_lines)."""
+    res = _deref(objs, page.get("Resources", {})) or {}
+    xobjects = _deref(objs, res.get("XObject", {})) or {}
+    images: dict[str, tuple[dict, bytes | None]] = {}
+    for name, ref in xobjects.items():
+        if not isinstance(ref, Ref):
+            continue
+        value, stream = objs[ref.num]
+        if isinstance(value, dict) and value.get("Subtype") == "Image":
+            images[str(name)] = (value, stream)
+    draw_list, inline_images = _draw_ops(objs, page)
+    images.update(inline_images)
+    if not images:
+        return None
+    all_draws = [(n, m) for n, m in draw_list if n in images]
+    # compositing handles axis-aligned placements; rotated/skewed
+    # stamps are dropped from the composite (and a page with ONLY
+    # such draws falls back to single-image decode below)
+    draws = [
+        (n, m) for n, m in all_draws
+        if abs(m[1]) <= 1e-9 and abs(m[2]) <= 1e-9
+        and abs(m[0]) > 1e-9 and abs(m[3]) > 1e-9
+    ]
+    if not draws and all_draws:
+        draws = all_draws[:1]
+    if len(draws) > 1:
+        # multi-strip / multi-draw page: composite in content order
+        # (later over earlier), placed by each draw's CTM
+        media = _deref(objs, page.get("MediaBox")) or None
+        if not (isinstance(media, list) and len(media) == 4):
+            # subset fallback: bound the draws themselves
+            xs = [v for _, (a, b, c, d, e, f) in draws
+                  for v in (e, e + a)]
+            ys = [v for _, (a, b, c, d, e, f) in draws
+                  for v in (f, f + d)]
+            media = [min(xs), min(ys), max(xs), max(ys)]
+        page_img = _compose_page(
+            objs, images, draws, [_deref(objs, v) for v in media]
+        )
+    else:
+        # single draw (or undecodable content stream): that image IS
+        # the page at its native resolution — returned exactly, no
+        # resample. Name-sorted order is the fallback when no draw
+        # parses.
+        chosen = draws[0][0] if draws else sorted(images)[0]
+        value, stream = images[chosen]
+        if stream is None:
+            raise PdfError(f"page {idx}: image XObject has no stream")
+        page_img = _decode_image_xobject(objs, value, stream)
+    # /Rotate (inherited): clockwise display rotation in 90° steps —
+    # scanners emit landscape pages this way and a viewer (or
+    # pypdfium2, the reference's rasterizer) shows them upright
+    rot = _deref(objs, page.get("Rotate", 0)) or 0
+    if not isinstance(rot, int) or rot % 90:
+        raise PdfError(f"page {idx}: bad /Rotate {rot!r}")
+    if rot % 360:
+        page_img = np.rot90(page_img, -((rot // 90) % 4)).copy()
+    return page_img
+
+
+def extract_page_images(blob: bytes) -> list[np.ndarray]:
+    """PDF bytes -> one grayscale uint8 array per page, in page-tree order.
+
+    Subset semantics: each page contributes its raster image content (the
+    scanned-document shape). A page with NO image — including born-digital
+    text pages — raises PdfError here; use `extract_page_content` when
+    text pages should extract as text instead. Zero-page documents
+    return []."""
+    objs, pages = _open_pdf(blob)
     out: list[np.ndarray] = []
     for idx, page in enumerate(pages):
-        res = _deref(objs, page.get("Resources", {})) or {}
-        xobjects = _deref(objs, res.get("XObject", {})) or {}
-        images: dict[str, tuple[dict, bytes | None]] = {}
-        for name, ref in xobjects.items():
-            if not isinstance(ref, Ref):
-                continue
-            value, stream = objs[ref.num]
-            if isinstance(value, dict) and value.get("Subtype") == "Image":
-                images[str(name)] = (value, stream)
-        draw_list, inline_images = _draw_ops(objs, page)
-        images.update(inline_images)
-        if not images:
+        img = _page_bitmap(objs, page, idx)
+        if img is None:
             raise PdfError(
                 f"page {idx} has no image XObject — vector/text page is "
-                "outside the extractor subset; plug a rasterizer "
-                "(pypdfium2) via rasterizer="
+                "outside the raster subset; use extract_page_content, or "
+                "plug a rasterizer (pypdfium2) via rasterizer="
             )
-        all_draws = [(n, m) for n, m in draw_list if n in images]
-        # compositing handles axis-aligned placements; rotated/skewed
-        # stamps are dropped from the composite (and a page with ONLY
-        # such draws falls back to single-image decode below)
-        draws = [
-            (n, m) for n, m in all_draws
-            if abs(m[1]) <= 1e-9 and abs(m[2]) <= 1e-9
-            and abs(m[0]) > 1e-9 and abs(m[3]) > 1e-9
-        ]
-        if not draws and all_draws:
-            draws = all_draws[:1]
-        if len(draws) > 1:
-            # multi-strip / multi-draw page: composite in content order
-            # (later over earlier), placed by each draw's CTM
-            media = _deref(objs, page.get("MediaBox")) or None
-            if not (isinstance(media, list) and len(media) == 4):
-                # subset fallback: bound the draws themselves
-                xs = [v for _, (a, b, c, d, e, f) in draws
-                      for v in (e, e + a)]
-                ys = [v for _, (a, b, c, d, e, f) in draws
-                      for v in (f, f + d)]
-                media = [min(xs), min(ys), max(xs), max(ys)]
-            page_img = _compose_page(
-                objs, images, draws, [_deref(objs, v) for v in media]
-            )
-        else:
-            # single draw (or undecodable content stream): that image IS
-            # the page at its native resolution — returned exactly, no
-            # resample. Name-sorted order is the fallback when no draw
-            # parses.
-            chosen = draws[0][0] if draws else sorted(images)[0]
-            value, stream = images[chosen]
-            if stream is None:
-                raise PdfError(f"page {idx}: image XObject has no stream")
-            page_img = _decode_image_xobject(objs, value, stream)
-        # /Rotate (inherited): clockwise display rotation in 90° steps —
-        # scanners emit landscape pages this way and a viewer (or
-        # pypdfium2, the reference's rasterizer) shows them upright
-        rot = _deref(objs, page.get("Rotate", 0)) or 0
-        if not isinstance(rot, int) or rot % 90:
-            raise PdfError(f"page {idx}: bad /Rotate {rot!r}")
-        if rot % 360:
-            page_img = np.rot90(page_img, -((rot // 90) % 4)).copy()
-        out.append(page_img)
+        out.append(img)
     return out
+
+
+def extract_page_content(blob: bytes) -> list[tuple[str, object]]:
+    """PDF bytes -> [("image", 2-D uint8 array) | ("text", [line, ...])]
+    per page, in page-tree order — the full-fidelity reader the pipeline
+    uses. Pages that draw raster content composite exactly as
+    extract_page_images; pages with no raster content extract their
+    text-showing operators directly (born-digital pages — cheaper AND
+    exact, where the reference rasterizes everything and OCRs,
+    /root/reference/src/pdf_processing.py:21-73). A page that is neither
+    (vector graphics only, undecodable font) raises PdfError — absorbed
+    per row by the callers."""
+    objs, pages = _open_pdf(blob)
+    out: list[tuple[str, object]] = []
+    for idx, page in enumerate(pages):
+        img = _page_bitmap(objs, page, idx)
+        if img is not None:
+            out.append(("image", img))
+        else:
+            out.append(("text", _page_text_lines(objs, page, idx)))
+    return out
+
+
+def encode_text_pdf(pages: list, **kw) -> bytes:
+    """Convenience writer for born-digital fixtures: every element of
+    `pages` is a list of line strings. See encode_image_pdf's text_*
+    options (tounicode / tj_kern / font_size / leading) — pass them with
+    or without the text_ prefix."""
+    kw = {(k if k.startswith("text_") or k == "objstm" else f"text_{k}"): v
+          for k, v in kw.items()}
+    return encode_image_pdf(list(pages), **kw)
 
 
 def pdfio_rasterizer(blob: bytes, zoom: float = 2.0) -> list[bytes]:
@@ -1087,6 +1669,22 @@ def pdfio_rasterizer(blob: bytes, zoom: float = 2.0) -> list[bytes]:
     compression beats small payloads."""
     return [png.encode_gray(im, compress_level=1)
             for im in extract_page_images(blob)]
+
+
+def pdfio_page_source(blob: bytes, zoom: float = 2.0) -> list:
+    """OCR-stage page hook over `extract_page_content`: image pages as PNG
+    bytes (OCR path), born-digital text pages as a str of newline-joined
+    lines (the OCR stage emits those lines DIRECTLY, score 1.0 — no
+    rasterize, no OCR). Same signature as a Rasterizer so it plugs into
+    every pdf_rasterizer= seam; `zoom` is accepted and ignored as in
+    pdfio_rasterizer."""
+    out: list = []
+    for kind, v in extract_page_content(blob):
+        if kind == "text":
+            out.append("\n".join(v))
+        else:
+            out.append(png.encode_gray(v, compress_level=1))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1140,14 +1738,32 @@ def encode_image_pdf(
     predictor: int | None = None,
     rle: bool = False,
     ccitt: bool | str | int = False,
+    text_tounicode: bool = False,
+    text_tj_kern: bool = False,
+    text_font_size: float = 12.0,
+    text_leading: float | None = None,
+    encrypt: str | None = None,
 ) -> bytes:
-    """Write a PDF with one image per page. Each element of `pages` is a
-    2-D uint8 numpy array (embedded as FlateDecode /DeviceGray — or
-    RunLengthDecode with rle=True), a 2-D BOOL array (embedded as 1-bit
-    DeviceGray bilevel, True = white), or raw JPEG bytes (embedded as
-    DCTDecode, zero-recompression — the standard scanned-PDF shape). An
-    empty list writes a valid zero-page document (the ADVICE zero-page
-    edge case).
+    """Write a PDF with one image OR text page per element. Each element
+    of `pages` is a 2-D uint8 numpy array (embedded as FlateDecode
+    /DeviceGray — or RunLengthDecode with rle=True), a 2-D BOOL array
+    (embedded as 1-bit DeviceGray bilevel, True = white), raw JPEG bytes
+    (embedded as DCTDecode, zero-recompression — the standard scanned-PDF
+    shape), or a list of STRINGS — a born-digital TEXT page: one Tj line
+    per string on a shared /Helvetica (WinAnsiEncoding by default;
+    text_tounicode=True assigns deliberately non-identity byte codes and
+    writes a /ToUnicode CMap instead, and text_tj_kern=True kerns words
+    apart with TJ adjustments instead of space glyphs — both exist so the
+    reader's CMap and kern-gap paths round-trip against our own writer).
+    An empty list writes a valid zero-page document (the ADVICE zero-page
+    edge case); an empty list ELEMENT writes a blank text page.
+
+    `encrypt` writes the standard security handler with EMPTY user and
+    owner passwords ("encrypted but openable by anyone", the common wild
+    shape): "rc4-40" (/V 1 /R 2), "rc4-128" (/V 2 /R 3), or "aes-128"
+    (/V 4 /R 4, /CFM /AESV2). Stream payloads encrypt per object; the
+    cross-reference stream (objstm mode) stays plaintext per spec. These
+    fixtures make the reader's decryption path self-verifying.
 
     Round-4 modes matching the default output of PDF >= 1.5 writers:
     `predictor` (2 or 10-15) predictor-compresses the Flate image data
@@ -1168,7 +1784,72 @@ def encode_image_pdf(
     # object 1 reserved for Catalog, 2 for Pages: append placeholders
     add(b"")  # 1: catalog (filled later)
     add(b"")  # 2: pages (filled later)
+    font_num: int | None = None  # shared text font, reserved lazily
+    tou_num: int | None = None
+    code_map: dict[str, int] = {}  # text_tounicode char -> byte code
+
+    def _text_code(ch: str) -> int:
+        if ch in code_map:
+            return code_map[ch]
+        code = 0x21 + len(code_map)
+        if code > 0xFF:
+            raise PdfError("text_tounicode page uses > 223 distinct chars")
+        code_map[ch] = code
+        return code
+
+    def _line_bytes(line: str) -> bytes:
+        if text_tounicode:
+            return bytes(_text_code(ch) for ch in line)
+        try:
+            return line.encode("cp1252")
+        except UnicodeEncodeError as e:
+            raise PdfError(f"text page line not WinAnsi-encodable: {e}")
+
+    def _esc(bs: bytes) -> bytes:
+        return (bs.replace(b"\\", b"\\\\")
+                .replace(b"(", b"\\(").replace(b")", b"\\)"))
+
     for item in pages:
+        if (isinstance(item, (list, tuple))
+                and all(isinstance(s, str) for s in item)):
+            # born-digital text page
+            if font_num is None:
+                font_num = add(b"")  # filled after all pages are seen
+                if text_tounicode:
+                    tou_num = add(b"")
+                    stream_obj_nums.add(tou_num)
+            fs = float(text_font_size)
+            lead = float(text_leading if text_leading is not None
+                         else fs + 2.0)
+            pw, ph = 612, 792
+            parts = [b"BT /F1 %s Tf 72 %s Td"
+                     % (("%g" % fs).encode(), ("%g" % (ph - 72)).encode())]
+            for i, line in enumerate(item):
+                if i:
+                    parts.append(b"0 %s Td" % ("%g" % -lead).encode())
+                if text_tj_kern:
+                    words = line.split(" ")
+                    tj = b" -278 ".join(
+                        b"(%s)" % _esc(_line_bytes(w)) for w in words
+                    )
+                    parts.append(b"[%s] TJ" % tj)
+                else:
+                    parts.append(b"(%s) Tj" % _esc(_line_bytes(line)))
+            parts.append(b"ET")
+            content = b"\n".join(parts)
+            content_num = add(
+                b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(content), content)
+            )
+            stream_obj_nums.add(content_num)
+            page_num = add(
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+                % (pw, ph, font_num, content_num)
+            )
+            page_obj_nums.append(page_num)
+            kids_parts.append(b"%d 0 R" % page_num)
+            continue
         if isinstance(item, (list, tuple)):
             # multi-strip page (the band-scanner shape): one image XObject
             # per strip, stacked top -> bottom by the content stream's CTMs
@@ -1290,12 +1971,107 @@ def encode_image_pdf(
         b" ".join(kids_parts),
         len(page_obj_nums),
     )
+    if font_num is not None:
+        if text_tounicode:
+            # bfranges for consecutive code->unicode runs, bfchar for the
+            # rest — both CMap section kinds round-trip through the reader
+            items = sorted((c, ord(ch)) for ch, c in code_map.items())
+            ranges: list[tuple[int, int, int]] = []  # (lo, hi, uni_lo)
+            for c, u in items:
+                if ranges and ranges[-1][1] + 1 == c \
+                        and u == ranges[-1][2] + (c - ranges[-1][0]):
+                    ranges[-1] = (ranges[-1][0], c, ranges[-1][2])
+                else:
+                    ranges.append((c, c, u))
+            bfr = [r for r in ranges if r[1] > r[0]]
+            bfc = [(lo, u) for lo, hi, u in ranges if hi == lo]
+            cm = [b"/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+                  b"begincmap\n1 begincodespacerange <00> <FF> "
+                  b"endcodespacerange"]
+            if bfc:
+                cm.append(b"%d beginbfchar" % len(bfc))
+                cm += [b"<%02X> <%04X>" % (lo, u) for lo, u in bfc]
+                cm.append(b"endbfchar")
+            if bfr:
+                cm.append(b"%d beginbfrange" % len(bfr))
+                cm += [b"<%02X> <%02X> <%04X>" % (lo, hi, u)
+                       for lo, hi, u in bfr]
+                cm.append(b"endbfrange")
+            cm.append(b"endcmap\nend\nend")
+            cmap_data = b"\n".join(cm)
+            objects[tou_num - 1] = (
+                b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(cmap_data), cmap_data)
+            )
+            objects[font_num - 1] = (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/ToUnicode %d 0 R >>" % tou_num
+            )
+        else:
+            objects[font_num - 1] = (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding /WinAnsiEncoding >>"
+            )
+
+    # --- optional standard-security-handler encryption -------------------
+    trailer_extra = b""
+    _enc_body = None
+    if encrypt is not None:
+        from hashlib import md5 as _md5
+
+        from ner_ocr_spark import crypto as _crypto
+
+        modes = {"rc4-40": (1, 2, 40), "rc4-128": (2, 3, 128),
+                 "aes-128": (4, 4, 128)}
+        if encrypt not in modes:
+            raise PdfError(f"encrypt mode {encrypt!r} unsupported")
+        v, r, bits = modes[encrypt]
+        aes = encrypt == "aes-128"
+        key_len = bits // 8
+        id0 = _md5(b"".join(objects)).digest()
+        perms = -44  # typical permission mask; feeds key derivation
+        o_entry = _crypto.owner_entry(b"", b"", r, key_len)
+        fkey = _crypto.std_key(b"", o_entry, perms, id0, r, key_len)
+        u_entry = _crypto.user_entry(fkey, id0, r)
+        enc_body = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+            b"/O <%s> /U <%s>"
+            % (v, r, bits, perms, o_entry.hex().encode(),
+               u_entry.hex().encode())
+        )
+        if aes:
+            enc_body += (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                         b" /StmF /StdCF /StrF /StdCF")
+        enc_body += b" >>"
+        enc_num = add(enc_body)
+        # /Encrypt must stay a DIRECT object (never inside an ObjStm);
+        # listing it with the stream objects keeps it out of the container
+        stream_obj_nums.add(enc_num)
+        idhex = id0.hex().encode()
+        trailer_extra = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                         % (enc_num, idhex, idhex))
+
+        def _enc_body(n: int, body: bytes) -> bytes:
+            i = body.find(b"stream\n")
+            if i < 0:
+                return body  # non-stream objects stay plaintext here
+            j = body.rfind(b"\nendstream")
+            payload = body[i + 7 : j]
+            ek = _crypto.object_key(fkey, n, 0, aes)
+            data = (_crypto.aes128_cbc_encrypt(
+                        ek, payload, _md5(b"iv:%d" % n).digest())
+                    if aes else _crypto.rc4(ek, payload))
+            head = re.sub(rb"/Length \d+", b"/Length %d" % len(data),
+                          body[:i], count=1)
+            return head + b"stream\n" + data + b"\nendstream"
 
     if not objstm:
         buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         offsets = [0]
         for i, body in enumerate(objects, start=1):
             offsets.append(len(buf))
+            if _enc_body is not None:
+                body = _enc_body(i, body)
             buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
         xref_pos = len(buf)
         buf += b"xref\n0 %d\n" % (len(objects) + 1)
@@ -1303,8 +2079,8 @@ def encode_image_pdf(
         for off in offsets[1:]:
             buf += b"%010d 00000 n \n" % off
         buf += (
-            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objects) + 1, xref_pos)
+            b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, trailer_extra, xref_pos)
         )
         return bytes(buf)
 
@@ -1335,6 +2111,8 @@ def encode_image_pdf(
     for n in direct_nums + [container_num]:
         obj_offset[n] = len(buf)
         body = objects[n - 1] if n <= len(objects) else container_body
+        if _enc_body is not None:
+            body = _enc_body(n, body)  # incl. the ObjStm container stream
         buf += b"%d 0 obj\n" % n + body + b"\nendobj\n"
 
     # xref stream entries, W = [1 4 2]: type, field2, field3
@@ -1353,9 +2131,9 @@ def encode_image_pdf(
         rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
     zrows = zlib.compress(bytes(rows), 6)
     buf += (
-        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R%s "
         b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
-        % (xref_num, size, len(zrows), zrows)
+        % (xref_num, size, trailer_extra, len(zrows), zrows)
     )
     buf += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(buf)

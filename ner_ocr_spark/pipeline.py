@@ -77,10 +77,13 @@ def extract_spans(
     clause) — reassembly restores order via span_idx, never partition order.
 
     PDF spans (kind='pdf'): pdf_rasterizer is any callable
-    (bytes, zoom) -> list[page png bytes]. The default "auto" resolves via
-    operators/pdf.default_rasterizer — pypdfium2 when installed, else the
-    from-scratch pdfio extractor (scanned-document subset: one Flate/DCT
-    image XObject per page), so real PDF bytes work out of the box. PDF
+    (bytes, zoom) -> list of page payloads, each either png bytes (OCR'd)
+    or a str of newline-joined text lines (emitted directly, score 1.0 —
+    the born-digital path). The default "auto" resolves via
+    operators/pdf.default_page_source — pypdfium2 when installed, else the
+    from-scratch pdfio reader (raster pages composited; born-digital pages
+    extracted as positioned Tj/TJ text, skipping OCR entirely), so real
+    PDF bytes work out of the box. PDF
     blobs are sniffed (%PDF- magic) and expanded to pages INSIDE the same
     OCR mapInPandas stage with line_idx base page_idx * 100000, so
     per-document order stays exact and mixed corpora keep ONE source scan /
@@ -95,9 +98,9 @@ def extract_spans(
     """
     spark = documents.sparkSession
     if pdf_rasterizer == "auto":
-        from ner_ocr_spark.operators.pdf import default_rasterizer
+        from ner_ocr_spark.operators.pdf import default_page_source
 
-        pdf_rasterizer = default_rasterizer()
+        pdf_rasterizer = default_page_source()
     spans = explode_spans(documents)
 
     # media-branch width: defaults to spark.sql.shuffle.partitions. At
