@@ -55,7 +55,7 @@ _NEGATIVE = re.compile(
     # containers like 'thread-item' / 'download-section' / 'grad-content'
     # and the -25 penalty can flip main_node selection on close scores.
     r"share|social|sponsor|advert|(?:^|[^a-z])ad-|promo|related|widget|"
-    r"cookie|popup",
+    r"cookie|popup|discussion|disqus",
     re.I,
 )
 _POSITIVE = re.compile(
@@ -207,11 +207,12 @@ def _iter_nodes(node: Node):
         )
 
 
-def text_of(node: Node) -> str:
+def text_of(node: Node, exclude: set | None = None) -> str:
     """Visible text: block boundaries become newlines, inline text joins;
     whitespace collapses per block (the pinned ASCII class). Iterative
     (depth-safe); source NULs were already replaced at parse time, so the
-    \\x00 sentinel is unambiguous."""
+    \\x00 sentinel is unambiguous. `exclude` drops whole subtrees by node
+    identity (the conditional boilerplate clean in main_text)."""
     parts: list[str] = []
     stack: list = [("enter", node)]
     while stack:
@@ -226,6 +227,8 @@ def text_of(node: Node) -> str:
             if isinstance(ch, str):
                 stack.append(("text", ch))
             elif ch.tag in _DROP_SUBTREES:
+                continue
+            elif exclude is not None and id(ch) in exclude:
                 continue
             elif ch.tag in BLOCK_TAGS:
                 stack.append(("sep", None))
@@ -307,11 +310,31 @@ def main_node(root: Node) -> Node:
 
 
 def main_text(html: str | bytes | None) -> str:
-    """Extract the page's main content text (boilerplate stripped)."""
+    """Extract the page's main content text (boilerplate stripped).
+
+    After candidate selection, a CONDITIONAL clean (Readability-family
+    cleanConditionally analog) drops descendant subtrees whose class/id
+    match the boilerplate priors — this is what removes a comment section
+    when the winning candidate is a broad container (body aggregates the
+    article AND the thread, and raw text mass favors it). Conditional:
+    when the stripped text keeps less than a quarter of the original, the
+    negative-tagged subtrees ARE the content (a forum thread page) and
+    the unstripped text is returned instead."""
     if html is None:
         return ""
     root = parse(html)
-    return text_of(main_node(root))
+    node = main_node(root)
+    bad = {
+        id(n) for n in _iter_nodes(node)
+        if n is not node and _NEGATIVE.search(
+            f"{n.attrs.get('class', '')} {n.attrs.get('id', '')}"
+        )
+    }
+    full = text_of(node)
+    if not bad:
+        return full
+    stripped = text_of(node, exclude=bad)
+    return stripped if len(stripped) >= 0.25 * len(full) else full
 
 
 def _all_nodes(node: Node):

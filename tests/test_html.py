@@ -263,3 +263,103 @@ def test_cli_html_mode(spark, tmp_path, monkeypatch):
     assert r["main_text"] == "Hi\nReal content, here."
     assert r["headline"] == "Hi" and r["n_links"] == 1
     assert r["links_joined"] == "/"
+
+
+# --- round-5 adversarial fixture families (real-crawl shapes) ---------------
+
+from ner_ocr_spark.htmlx import main_text  # noqa: E402
+
+
+TABLE_PAGE = """
+<html><head><title>Quarterly results</title></head><body>
+<div class="nav"><a href="/">Home</a> <a href="/about">About</a></div>
+<table id="layout">
+<tr><td class="sidebar"><a href="/q1">Q1</a> <a href="/q2">Q2</a>
+<a href="/q3">Q3</a> <a href="/q4">Q4</a></td>
+<td class="content-cell">
+<h1>Quarterly results</h1>
+<table class="data">
+<tr><th>Region</th><th>Revenue</th><th>Growth</th></tr>
+<tr><td>North</td><td>1,200</td><td>4.5%</td></tr>
+<tr><td>South</td><td>980</td><td>2.1%</td></tr>
+<tr><td>East</td><td>1,430</td><td>6.8%</td></tr>
+</table>
+<p>Revenue grew across all regions this quarter, with the east region
+leading at nearly seven percent growth, driven by strong demand in the
+enterprise segment and continued expansion of the partner channel.</p>
+</td></tr>
+</table>
+<div class="footer"><a href="/privacy">Privacy</a></div>
+</body></html>
+"""
+
+
+def test_table_layout_page_preserves_row_order():
+    """Old-school table layout: the content CELL wins (td is a candidate
+    tag); nav/sidebar/footer drop; the inner DATA table's text survives
+    in row order, header row first."""
+    got = main_text(TABLE_PAGE)
+    lines = got.split("\n")
+    assert lines[0] == "Quarterly results"
+    # data table rows in document order, no interleaving
+    flat = [ln for ln in lines if ln not in ("Quarterly results",)]
+    joined = " ".join(lines)
+    for earlier, later in [("Region", "North"), ("North", "South"),
+                           ("South", "East"), ("East", "Revenue grew")]:
+        assert joined.index(earlier) < joined.index(later)
+    assert "Home" not in got and "Privacy" not in got and "Q1" not in got
+    assert "Revenue grew across all regions" in joined
+
+
+COMMENTS_PAGE = """
+<html><body>
+<div class="article-content">
+<h1>Understanding query planners</h1>
+<p>A query planner turns a declarative statement into an executable plan,
+choosing join orders, access paths, and physical operators by estimating
+the cost of each alternative against table statistics.</p>
+<p>Modern planners add adaptive execution, re-planning mid-query when
+observed cardinalities diverge from the estimates that drove the plan.</p>
+</div>
+<div id="discussion-thread">
+<h2>42 comments</h2>
+<div class="thread-item"><a href="/u/alice">alice</a> Great post.</div>
+<div class="thread-item"><a href="/u/bob">bob</a> Streaming engines too?</div>
+<div class="thread-item"><a href="/u/carol">carol</a> Stale stats bit us.</div>
+<div class="thread-item"><a href="/u/dave">dave</a> Saved a regression.</div>
+</div>
+</body></html>
+"""
+
+
+def test_comment_section_dropped_article_kept():
+    """Article + comment thread: raw text mass makes the broad container
+    win candidate selection, so the CONDITIONAL clean must drop the
+    negative-tagged thread ('discussion') while keeping the article.
+    Also pins that 'thread-item' never matches the token-anchored 'ad-'
+    prior (the round-4 advice edge)."""
+    got = main_text(COMMENTS_PAGE)
+    assert "query planner turns a declarative statement" in got
+    assert "adaptive execution" in got
+    assert "alice" not in got and "42 comments" not in got
+
+
+FORUM_PAGE = """
+<html><body><div id="discussion-thread">
+<div class="thread-item"><a href="/u/a">a</a> The first reply in a long
+forum thread about tuning shuffle partitions for wide aggregations.</div>
+<div class="thread-item"><a href="/u/b">b</a> Second reply describing how
+adaptive execution coalesces small partitions after the fact.</div>
+<div class="thread-item"><a href="/u/c">c</a> Third reply with a worked
+example of skew-join salting and broadcast thresholds.</div>
+</div></body></html>
+"""
+
+
+def test_forum_page_comments_are_the_content():
+    """The clean is CONDITIONAL: when stripping the negative-tagged
+    subtrees would remove nearly everything (a forum thread page, where
+    the 'comments' ARE the main content), the unstripped text wins."""
+    got = main_text(FORUM_PAGE)
+    assert "first reply in a long" in got
+    assert "skew-join salting" in got
