@@ -1347,42 +1347,61 @@ def _content_tokens(data: bytes):
 _KERN_SPACE_EM = 0.15
 
 
-def _page_text_lines(objs, page: dict, idx: int) -> list[str]:
-    """Positioned text lines of a page with no raster content, top-down,
-    left-to-right: a full text-state machine over the content stream
-    (BT/ET, Tf, Td/TD/Tm/T*/TL, Tj/'/\"/TJ with kern-gap word spacing)
-    tracking CTM x text matrix; runs are bucketed into lines by their
-    device-space baseline (tolerance scaled to the font size), ordered by
-    x within a line, and the /Rotate inherited attribute maps baseline
-    coords into display orientation first. Raises PdfError when the page
-    draws non-text content it cannot represent (undecodable font, or
-    path/shading operators with no text at all)."""
-    fonts = _font_decoders(objs, page)
-    raw = _content_bytes(objs, page)
-    if not raw.strip(bytes(_WS)):
-        return []  # blank page: no content operators at all
-    # blank inline-image payloads so binary bytes never tokenize (text
-    # pages should have none, but a dead BI section must still be skipped)
+def _blank_inline_images(raw: bytes) -> bytes:
+    """Blank BI..ID..EI payloads (and dead sections) so binary bytes never
+    tokenize — shared by the text walker for page AND form streams."""
     stripped = _strip_strings(raw)
     segs, dead = _inline_segments(raw, stripped)
-    if segs or dead:
-        buf = bytearray(raw)
-        for s, e, _, _ in segs:
-            buf[s:e] = b" " * (e - s)
-        for s, e in dead:
-            buf[s:e] = b" " * (e - s)
-        raw = bytes(buf)
+    if not segs and not dead:
+        return raw
+    buf = bytearray(raw)
+    for s, e, _, _ in segs:
+        buf[s:e] = b" " * (e - s)
+    for s, e in dead:
+        buf[s:e] = b" " * (e - s)
+    return bytes(buf)
 
-    ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
-    ctm, gsave = ident, []
-    tm = tlm = ident
+
+def _fonts_from_resources(objs, res) -> dict[str, object]:
+    res = _deref(objs, res or {}) or {}
+    fonts = _deref(objs, res.get("Font", {})) or {}
+    out: dict[str, object] = {}
+    for name, ref in fonts.items():
+        fd = _deref(objs, ref)
+        if isinstance(fd, dict):
+            out[str(name)] = _make_font_decoder(objs, fd)
+    return out
+
+
+_IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+# operators that are legitimate on a text-only page (state, color, text,
+# marked content) — anything else flags the page as drawing non-text
+_TEXT_PAGE_OPS = {
+    "ET", "Tc", "Tw", "Tz", "Ts", "Tr", "BDC", "EMC", "BMC", "MP", "DP",
+    "gs", "cs", "CS", "sc", "SC", "scn", "SCN", "g", "G", "rg", "RG",
+    "k", "K", "w", "J", "j", "M", "d", "ri", "i",
+}
+
+
+def _run_text_stream(objs, data: bytes, fonts: dict, res, base_ctm,
+                     runs: list, seq: int, depth: int, idx: int):
+    """Text-state machine over one content stream (page or Form XObject).
+    Appends (y, x, seq, text, fs_dev) runs; returns (seq, saw_other_ops).
+    `Do` on a /Subtype /Form recurses with the form's /Matrix composed
+    into the CTM and the form's own /Resources (falling back to the
+    caller's) — born-digital writers routinely wrap page text in forms."""
+    ctm, gsave = base_ctm, []
+    tm = tlm = _IDENT
     tl = 0.0
     fs = 0.0
     dec = _NO_FONT = object()  # sentinel: no Tf yet -> latin-1 fallback
-    runs: list[tuple[float, float, int, str, float]] = []
-    seq = 0
     saw_other_ops = False
     operands: list = []
+    last_name = None
+
+    res_d = _deref(objs, res or {}) or {}
+    xobjects = _deref(objs, res_d.get("XObject", {})) or {}
 
     def decode_str(bs: bytes) -> str:
         if dec is _NO_FONT:
@@ -1399,26 +1418,26 @@ def _page_text_lines(objs, page: dict, idx: int) -> list[str]:
         if not text:
             return
         trm = _mat_mul(tm, ctm)
-        fs_dev = abs(fs) * max(
-            (trm[2] ** 2 + trm[3] ** 2) ** 0.5, 1e-9
-        )
+        fs_dev = abs(fs) * max((trm[2] ** 2 + trm[3] ** 2) ** 0.5, 1e-9)
         runs.append((trm[5], trm[4], seq, text, fs_dev))
         seq += 1
 
-    for kind, tok in _content_tokens(raw):
+    for kind, tok in _content_tokens(data):
         if kind == "val":
             operands.append(tok)
+            if isinstance(tok, Name):
+                last_name = str(tok)
             continue
         op = tok
         try:
             if op == "q":
                 gsave.append(ctm)
             elif op == "Q":
-                ctm = gsave.pop() if gsave else ident
+                ctm = gsave.pop() if gsave else base_ctm
             elif op == "cm" and len(operands) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in operands[-6:]), ctm)
             elif op == "BT":
-                tm = tlm = ident
+                tm = tlm = _IDENT
             elif op == "Tf" and len(operands) >= 2:
                 name = operands[-2]
                 fs = float(operands[-1])
@@ -1456,17 +1475,60 @@ def _page_text_lines(objs, page: dict, idx: int) -> list[str]:
                         if -float(el) / 1000.0 >= _KERN_SPACE_EM:
                             parts.append(" ")
                 show("".join(parts))
-            elif op not in ("ET", "Tc", "Tw", "Tz", "Ts", "Tr", "BDC",
-                            "EMC", "BMC", "MP", "DP", "gs", "cs", "CS",
-                            "sc", "SC", "scn", "SCN", "g", "G", "rg",
-                            "RG", "k", "K", "w", "J", "j", "M", "d",
-                            "ri", "i"):
+            elif op == "Do" and last_name is not None and depth < 8:
+                target = xobjects.get(last_name)
+                form = _deref(objs, target) if target is not None else None
+                stream = None
+                if isinstance(target, Ref) and target.num in objs:
+                    stream = objs[target.num][1]
+                if (isinstance(form, dict)
+                        and form.get("Subtype") == "Form"
+                        and stream is not None):
+                    inner = _decode_stream(objs, form, stream)
+                    mat = _deref(objs, form.get("Matrix")) or None
+                    fctm = ctm
+                    if isinstance(mat, list) and len(mat) == 6:
+                        fctm = _mat_mul(tuple(float(v) for v in mat), ctm)
+                    fres = form.get("Resources") or res
+                    ffonts = _fonts_from_resources(objs, fres) or fonts
+                    seq, other = _run_text_stream(
+                        objs, _blank_inline_images(inner), ffonts, fres,
+                        fctm, runs, seq, depth + 1, idx,
+                    )
+                    saw_other_ops = saw_other_ops or other
+                else:
+                    saw_other_ops = True  # image/undecodable XObject draw
+            elif op not in _TEXT_PAGE_OPS:
                 saw_other_ops = True
         except PdfError:
             raise
         except Exception:  # noqa: BLE001 — malformed operands: skip the op
             pass
         operands = []
+        if kind == "op":
+            last_name = None
+    return seq, saw_other_ops
+
+
+def _page_text_lines(objs, page: dict, idx: int) -> list[str]:
+    """Positioned text lines of a page with no raster content, top-down,
+    left-to-right: a full text-state machine over the content stream
+    (BT/ET, Tf, Td/TD/Tm/T*/TL, Tj/\'/\"/TJ with kern-gap word spacing,
+    Form-XObject recursion) tracking CTM x text matrix; runs are bucketed
+    into lines by their device-space baseline (tolerance scaled to the
+    font size), ordered by x within a line, and the /Rotate inherited
+    attribute maps baseline coords into display orientation first. Raises
+    PdfError when the page draws non-text content it cannot represent
+    (undecodable font, or path/shading operators with no text at all)."""
+    raw = _content_bytes(objs, page)
+    if not raw.strip(bytes(_WS)):
+        return []  # blank page: no content operators at all
+    fonts = _font_decoders(objs, page)
+    runs: list[tuple[float, float, int, str, float]] = []
+    _, saw_other_ops = _run_text_stream(
+        objs, _blank_inline_images(raw), fonts,
+        page.get("Resources"), _IDENT, runs, 0, 0, idx,
+    )
 
     if not runs:
         if saw_other_ops:

@@ -348,3 +348,26 @@ def test_encrypted_pdf_through_pipeline(spark):
         _docs(spark), blob_resolver=_resolver_for(locked), with_ner=False
     ).filter("kind = 'pdf'").collect()
     assert len(rows) == 1 and "non-empty user password" in rows[0]["error"]
+
+
+def test_form_xobject_text_recursion():
+    """Born-digital writers routinely wrap page text in /Subtype /Form
+    XObjects: the walker must recurse into the form's content with its
+    /Matrix composed into the CTM and the form's own /Resources."""
+    form_content = b"BT /F1 12 Tf 0 0 Td (inside the form) Tj ET"
+    page_content = b"BT /F1 12 Tf 72 720 Td (on the page) Tj ET q 1 0 0 1 72 640 cm /Fx1 Do Q"
+    font_obj = (
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>\nendobj\n"
+        b"6 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 400 100] "
+        b"/Matrix [1 0 0 1 0 0] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Length "
+        + str(len(form_content)).encode() + b" >>\nstream\n"
+        + form_content + b"\nendstream\nendobj\n"
+    )
+    res = (b"/Resources << /Font << /F1 5 0 R >> "
+           b"/XObject << /Fx1 6 0 R >> >>")
+    blob = _handcrafted(page_content, font_obj, res)
+    assert pdfio.extract_page_content(blob) == [
+        ("text", ["on the page", "inside the form"])
+    ]
