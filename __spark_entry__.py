@@ -368,6 +368,47 @@ def q_stophash_cap(spark, sf):  # capped LSH on a skewed corpus, value-checked
     )
 
 
+def q_pdf_text_roundtrip(spark, sf):  # born-digital PDF path, value-checked
+    """Driver-signed VALUE oracle for the round-5 vector-text PDF path:
+    each document's text becomes a one-page born-digital PDF via pdfio's
+    own writer (10-word lines, WinAnsi Helvetica) and the from-scratch
+    reader extracts it back through the full text-state machine
+    (fonts/Td/Tj/line bucketing). The round trip is EXACT for this
+    corpus, so the DuckDB twin is the same 10-word line split expressed
+    in SQL — writer, object scan, content tokenizer, font decode and
+    baseline ordering are all under the value hash. Python crossing is
+    one Arrow-batched UDF over 100 docs (a correctness probe, not a perf
+    path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+
+    @pandas_udf("string")
+    def roundtrip(texts):
+        import re as _re
+
+        import pandas as pd
+
+        from ner_ocr_spark import pdfio
+
+        ws = _re.compile(r"[ \t\n\x0B\f\r]+")  # the pinned ASCII class
+
+        def one(t):
+            words = [w for w in ws.split(t or "") if w]
+            lines = [" ".join(words[i : i + 10])
+                     for i in range(0, len(words), 10)]
+            blob = pdfio.encode_text_pdf([lines])
+            ((kind, out_lines),) = pdfio.extract_page_content(blob)
+            assert kind == "text"
+            return "\n".join(out_lines)
+
+        return pd.Series([one(t) for t in texts])
+
+    return docs.select("doc_id", roundtrip("text").alias("pdf_text"))
+
+
 def q_hot_buckets(spark, sf):  # dropped-mass report, value-checked
     """The companion report a capped run must emit (stop-hash drops are
     never silent): per over-cap band bucket, its df and the pair count
@@ -1456,9 +1497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_sessions": q_stateful_sessions,
         "stream_dedup": q_stream_dedup,
         "extraction_e2e": q_extraction_e2e,
-        # --- new in round 5 (stop-hash cap; still inside the 50-window) ---
+        # --- new in round 5 (still inside the 50-window) ---
         "stophash_cap": q_stophash_cap,
         "hot_buckets": q_hot_buckets,
+        "pdf_text_roundtrip": q_pdf_text_roundtrip,
         # --- driver-signed in rounds 1-4 ---
         "kind_route": q_kind_route,
         "ext_filter": q_ext_filter,
@@ -2554,6 +2596,23 @@ def oracle_sql() -> dict[str, str]:
         + "' ELSE text END AS text FROM documents WHERE doc_id < 150"
     )
     out["stophash_cap"] = _minhash_pairs_twin(_skew_src, 8)
+    # born-digital PDF round trip: the reader must reproduce the writer's
+    # 10-word line split exactly, so the twin IS that split in SQL
+    # (array_to_string of an empty list is NULL in DuckDB — coalesce)
+    out["pdf_text_roundtrip"] = """
+        SELECT doc_id,
+               coalesce(array_to_string(
+                   list_transform(
+                       range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+                       i -> array_to_string(w[i*10+1 : i*10+10], ' ')),
+                   chr(10)), '') AS pdf_text
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text,
+                       '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
+            FROM documents WHERE doc_id < 100
+        )
+    """
     _bands_union = "\n                UNION ALL ".join(
         f"SELECT {i} AS b, mh{i} AS v FROM sig" for i in range(8)
     )

@@ -76,6 +76,7 @@ def _rotl8(x: int, n: int) -> int:
 _init_sbox()
 
 _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+_ROUNDS = {16: 10, 32: 14}  # AES-128 / AES-256
 
 
 def _xtime(a: int) -> int:
@@ -93,16 +94,20 @@ def _gmul(a: int, b: int) -> int:
 
 
 def _expand_key(key: bytes) -> list[bytes]:
-    """128-bit key -> 11 round keys of 16 bytes."""
-    w = [key[i : i + 4] for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """128/256-bit key -> Nr+1 round keys of 16 bytes (FIPS-197 §5.2)."""
+    nk = len(key) // 4
+    nr = _ROUNDS[len(key)]
+    w = [key[i : i + 4] for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = bytearray(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = bytearray(_SBOX[b] for b in t)
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append(bytes(a ^ b for a, b in zip(w[i - 4], t)))
-    return [b"".join(w[i : i + 4]) for i in range(0, 44, 4)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = bytearray(_SBOX[b] for b in t)
+        w.append(bytes(a ^ b for a, b in zip(w[i - nk], t)))
+    return [b"".join(w[i : i + 4]) for i in range(0, 4 * (nr + 1), 4)]
 
 
 def _add_round_key(s: bytearray, rk: bytes) -> None:
@@ -115,12 +120,13 @@ _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
 def _encrypt_block(block: bytes, rks: list[bytes]) -> bytes:
+    nr = len(rks) - 1
     s = bytearray(block)
     _add_round_key(s, rks[0])
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         # SubBytes + ShiftRows
         s = bytearray(_SBOX[s[_SHIFT[i]]] for i in range(16))
-        if rnd < 10:
+        if rnd < nr:
             # MixColumns
             t = bytearray(16)
             for c in range(4):
@@ -135,9 +141,10 @@ def _encrypt_block(block: bytes, rks: list[bytes]) -> bytes:
 
 
 def _decrypt_block(block: bytes, rks: list[bytes]) -> bytes:
+    nr = len(rks) - 1
     s = bytearray(block)
-    _add_round_key(s, rks[10])
-    for rnd in range(9, -1, -1):
+    _add_round_key(s, rks[nr])
+    for rnd in range(nr - 1, -1, -1):
         # InvShiftRows + InvSubBytes
         s = bytearray(_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16))
         _add_round_key(s, rks[rnd])
@@ -186,6 +193,38 @@ def aes128_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
         blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
         prev = _encrypt_block(blk, rks)
         out += prev
+    return bytes(out)
+
+
+# the generalized key schedule makes these work for 16- OR 32-byte keys;
+# the aes128_* names predate AES-256 support
+aes_cbc_decrypt = aes128_cbc_decrypt
+aes_cbc_encrypt = aes128_cbc_encrypt
+
+
+def aes_cbc_encrypt_nopad(key: bytes, data: bytes,
+                          iv: bytes = b"\x00" * 16) -> bytes:
+    """Raw CBC, no padding, IV not prepended — the R6 /UE//OE and
+    Algorithm 2.B shapes. `data` must be block-aligned."""
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt_nopad(key: bytes, data: bytes,
+                          iv: bytes = b"\x00" * 16) -> bytes:
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev))
+        prev = blk
     return bytes(out)
 
 
@@ -251,6 +290,59 @@ def check_user_password(password: bytes, o_entry: bytes, u_entry: bytes,
     else:
         ok = expect[:16] == got[:16]
     return key if ok else None
+
+
+# --------------------------------------------------------------------------
+# R6 / AES-256 (ISO 32000-2 §7.6.4.3.4; PDF 2.0, also Acrobat X+ files)
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B: the iterated SHA-256/384/512 password hash. `udata`
+    is the 48-byte /U entry when hashing owner passwords, else empty."""
+    from hashlib import sha256, sha384, sha512
+
+    k = sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64  # always block-aligned (x64)
+        e = aes_cbc_encrypt_nopad(k[:16], k1, iv=k[16:32])
+        k = (sha256, sha384, sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def r6_user_entries(password: bytes, file_key: bytes,
+                    vsalt: bytes, ksalt: bytes) -> tuple[bytes, bytes]:
+    """(U, UE) for R6: U = hash + validation salt + key salt (48 bytes),
+    UE = AES-256-CBC(intermediate key, file key), zero IV, no padding."""
+    u = hash_2b(password, vsalt) + vsalt + ksalt
+    ue = aes_cbc_encrypt_nopad(hash_2b(password, ksalt), file_key)
+    return u, ue
+
+
+def r6_owner_entries(password: bytes, file_key: bytes, u_entry: bytes,
+                     vsalt: bytes, ksalt: bytes) -> tuple[bytes, bytes]:
+    """(O, OE) for R6 — owner hashes bind the 48-byte /U as udata."""
+    o = hash_2b(password, vsalt, u_entry[:48]) + vsalt + ksalt
+    oe = aes_cbc_encrypt_nopad(hash_2b(password, ksalt, u_entry[:48]),
+                               file_key)
+    return o, oe
+
+
+def check_user_password_r6(password: bytes, u_entry: bytes,
+                           ue_entry: bytes) -> bytes | None:
+    """Algorithm 11 + 8a: the 32-byte file key when `password` is the R6
+    user password, else None."""
+    u = bytes(u_entry)
+    if len(u) < 48 or len(ue_entry) < 32:
+        return None
+    vsalt, ksalt = u[32:40], u[40:48]
+    if hash_2b(password, vsalt) != u[:32]:
+        return None
+    return aes_cbc_decrypt_nopad(
+        hash_2b(password, ksalt), bytes(ue_entry)[:32]
+    )
 
 
 def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:

@@ -509,9 +509,35 @@ def _decrypt_objects(objs, enc: dict, id0: bytes) -> None:
         )
     v = _deref(objs, enc.get("V", 0)) or 0
     r = _deref(objs, enc.get("R", 2)) or 2
+    if v == 5 and r == 6:
+        # AES-256 (PDF 2.0 / Acrobat X+): Algorithm 2.B hash chain; the
+        # file key comes straight from /UE; AESV3 uses it for every
+        # object (no per-object MD5 salting)
+        u_entry = enc.get("U")
+        ue_entry = enc.get("UE")
+        if not isinstance(u_entry, (bytes, bytearray)) or not isinstance(
+            ue_entry, (bytes, bytearray)
+        ):
+            raise PdfError("encrypted PDF: malformed /U//UE entries")
+        key = crypto.check_user_password_r6(b"", u_entry, ue_entry)
+        if key is None:
+            raise PdfError("encrypted PDF: non-empty user password required")
+        for num, (value, stream) in list(objs.items()):
+            if stream is None:
+                continue
+            if isinstance(value, dict) and value.get("Type") == "XRef":
+                continue
+            try:
+                dec = crypto.aes_cbc_decrypt(key, bytes(stream))
+            except Exception as e:  # noqa: BLE001 — corrupt ciphertext
+                raise PdfError(
+                    f"object {num}: decryption failed ({e})"
+                ) from e
+            objs[num] = (value, dec)
+        return
     if v not in (1, 2, 4) or r not in (2, 3, 4):
         raise PdfError(
-            f"encrypted PDF: /V {v} /R {r} unsupported (AES-256 /V5?)"
+            f"encrypted PDF: /V {v} /R {r} unsupported"
         )
     length = _deref(objs, enc.get("Length", 40)) or 40
     key_len = length // 8 if length >= 40 else int(length)
@@ -2084,26 +2110,50 @@ def encode_image_pdf(
         from ner_ocr_spark import crypto as _crypto
 
         modes = {"rc4-40": (1, 2, 40), "rc4-128": (2, 3, 128),
-                 "aes-128": (4, 4, 128)}
+                 "aes-128": (4, 4, 128), "aes-256": (5, 6, 256)}
         if encrypt not in modes:
             raise PdfError(f"encrypt mode {encrypt!r} unsupported")
         v, r, bits = modes[encrypt]
-        aes = encrypt == "aes-128"
-        key_len = bits // 8
+        aes = encrypt in ("aes-128", "aes-256")
         id0 = _md5(b"".join(objects)).digest()
         perms = -44  # typical permission mask; feeds key derivation
-        o_entry = _crypto.owner_entry(b"", b"", r, key_len)
-        fkey = _crypto.std_key(b"", o_entry, perms, id0, r, key_len)
-        u_entry = _crypto.user_entry(fkey, id0, r)
-        enc_body = (
-            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
-            b"/O <%s> /U <%s>"
-            % (v, r, bits, perms, o_entry.hex().encode(),
-               u_entry.hex().encode())
-        )
-        if aes:
-            enc_body += (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
-                         b" /StmF /StdCF /StrF /StdCF")
+        if v == 5:
+            # R6: deterministic salts/key from the content hash keep the
+            # fixture reproducible; AESV3 uses the file key directly
+            from hashlib import sha256 as _sha256
+
+            fkey = _sha256(b"filekey" + id0).digest()
+            u_entry, ue_entry = _crypto.r6_user_entries(
+                b"", fkey, id0[:8], id0[8:16]
+            )
+            osalts = _md5(id0).digest()
+            o_entry, oe_entry = _crypto.r6_owner_entries(
+                b"", fkey, u_entry, osalts[:8], osalts[8:16]
+            )
+            enc_body = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d "
+                b"/O <%s> /U <%s> /OE <%s> /UE <%s> "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF"
+                % (perms, o_entry.hex().encode(), u_entry.hex().encode(),
+                   oe_entry.hex().encode(), ue_entry.hex().encode())
+            )
+        else:
+            key_len = bits // 8
+            o_entry = _crypto.owner_entry(b"", b"", r, key_len)
+            fkey = _crypto.std_key(b"", o_entry, perms, id0, r, key_len)
+            u_entry = _crypto.user_entry(fkey, id0, r)
+            enc_body = (
+                b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+                b"/O <%s> /U <%s>"
+                % (v, r, bits, perms, o_entry.hex().encode(),
+                   u_entry.hex().encode())
+            )
+            if aes:
+                enc_body += (
+                    b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                    b" /StmF /StdCF /StrF /StdCF"
+                )
         enc_body += b" >>"
         enc_num = add(enc_body)
         # /Encrypt must stay a DIRECT object (never inside an ObjStm);
@@ -2119,8 +2169,10 @@ def encode_image_pdf(
                 return body  # non-stream objects stay plaintext here
             j = body.rfind(b"\nendstream")
             payload = body[i + 7 : j]
-            ek = _crypto.object_key(fkey, n, 0, aes)
-            data = (_crypto.aes128_cbc_encrypt(
+            # AESV3 (R6) uses the file key for every object; earlier
+            # revisions salt a per-object key (Algorithm 1)
+            ek = fkey if v == 5 else _crypto.object_key(fkey, n, 0, aes)
+            data = (_crypto.aes_cbc_encrypt(
                         ek, payload, _md5(b"iv:%d" % n).digest())
                     if aes else _crypto.rc4(ek, payload))
             head = re.sub(rb"/Length \d+", b"/Length %d" % len(data),

@@ -308,7 +308,6 @@ def test_encrypted_objstm_container_decrypts_before_expansion():
 
 
 def test_nonempty_password_fails_closed_distinctly():
-    blob = pdfio.encode_text_pdf([["secret"]])
     blob = pdfio.encode_image_pdf([["secret"]], encrypt="rc4-128")
     # corrupt the /U entry: authentication with the empty password fails,
     # which is exactly what a real user password produces
@@ -321,11 +320,37 @@ def test_nonempty_password_fails_closed_distinctly():
         pdfio.extract_page_content(bad)
 
 
-def test_aes256_v5_fails_closed_distinctly():
+def test_aes256_r6_roundtrip():
+    """AES-256 (/V 5 /R 6, AESV3): Algorithm 2.B hash chain authenticates
+    the empty user password, /UE yields the file key, and every stream
+    decrypts with it directly (no per-object salting)."""
+    img = (np.arange(40 * 60, dtype=np.uint32) * 37 % 251).astype(np.uint8)
+    img = img.reshape(40, 60)
+    blob = pdfio.encode_image_pdf([img, ["aes-256 text page"]],
+                                  encrypt="aes-256")
+    got = pdfio.extract_page_content(blob)
+    assert np.array_equal(got[0][1], img)
+    assert got[1] == ("text", ["aes-256 text page"])
+
+
+def test_aes256_r6_nonempty_password_fails_closed():
+    blob = pdfio.encode_image_pdf([["secret"]], encrypt="aes-256")
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]{96})>", blob)
+    assert m is not None
+    bad = blob[: m.start(1)] + b"00" * 48 + blob[m.end(1):]
+    with pytest.raises(pdfio.PdfError, match="non-empty user password"):
+        pdfio.extract_page_content(bad)
+
+
+def test_deprecated_r5_fails_closed():
+    """/V 5 /R 5 (the withdrawn Acrobat 9 AES-256 revision) stays
+    unsupported with a distinct error."""
     blob = pdfio.encode_image_pdf([["x"]], encrypt="aes-128")
-    v5 = blob.replace(b"/V 4 /R 4", b"/V 5 /R 6")
-    with pytest.raises(pdfio.PdfError, match="AES-256"):
-        pdfio.extract_page_content(v5)
+    v5r5 = blob.replace(b"/V 4 /R 4", b"/V 5 /R 5")
+    with pytest.raises(pdfio.PdfError, match="unsupported"):
+        pdfio.extract_page_content(v5r5)
 
 
 def test_encrypted_pdf_through_pipeline(spark):
