@@ -409,6 +409,79 @@ def q_pdf_text_roundtrip(spark, sf):  # born-digital PDF path, value-checked
     return docs.select("doc_id", roundtrip("text").alias("pdf_text"))
 
 
+_BPE_MERGES = 24
+_BPE_MAX_WORDS = 2000
+_BPE_DOCS = 300
+
+
+def q_bpe_tokenize(spark, sf):  # BPE induction + tokenization, value-checked
+    """Tokenizer-training tier: BPE merges induced from the corpus
+    (distributed word-frequency aggregation -> bounded greedy merge loop,
+    the standard tokenizer-training shape) and applied as literal chained
+    replaces — pure codegen, no python in the apply path. The DuckDB twin
+    recomputes the SAME frequency table in SQL, runs the SHARED learn_bpe
+    loop, and folds the identical merges into its own replace chain (the
+    lsh/ivf generated-twin pattern), so induction AND application are
+    both under the value hash."""
+    from ner_ocr_spark.operators.bpe import (
+        merges_from_corpus,
+        n_tokens_expr,
+        tokenize_expr,
+    )
+    from ner_ocr_spark.operators.dedup import normalize_for_dedup
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _BPE_DOCS)
+    merges = merges_from_corpus(
+        docs, num_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
+    )
+    norm = normalize_for_dedup(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.substring(tokenize_expr(norm, merges), 1, 200).alias("bpe_head"),
+        n_tokens_expr(norm, merges).alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_oracle_sql() -> str | None:
+    """Generated q_bpe_tokenize twin: identical word-frequency cut in
+    DuckDB, identical shared merge loop, merges folded as literals."""
+    import os
+
+    import duckdb
+
+    from ner_ocr_spark.operators.bpe import (
+        learn_bpe,
+        tokenize_sql,
+        word_freqs_duckdb,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = Path(sf) / "documents.parquet"
+    if not path.exists():
+        return None
+    try:
+        con = duckdb.connect()
+        src = (f"SELECT text FROM read_parquet('{path}') "
+               f"WHERE doc_id < {_BPE_DOCS}")
+        merges = learn_bpe(
+            word_freqs_duckdb(con, src, _BPE_MAX_WORDS), _BPE_MERGES
+        )
+    except Exception:  # noqa: BLE001 — unreadable parquet: rows-only
+        return None
+    norm = ("trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', "
+            "' ', 'g'))")
+    piped = tokenize_sql(norm, merges)
+    return f"""
+        SELECT doc_id,
+               substr(trim(regexp_replace(replace({piped}, '|', ' '),
+                                          ' +', ' ', 'g')), 1, 200)
+                   AS bpe_head,
+               CAST(length({piped}) - length(replace({piped}, '|', ''))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents WHERE doc_id < {_BPE_DOCS}
+    """
+
+
 def q_hot_buckets(spark, sf):  # dropped-mass report, value-checked
     """The companion report a capped run must emit (stop-hash drops are
     never silent): per over-cap band bucket, its df and the pair count
@@ -1501,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stophash_cap": q_stophash_cap,
         "hot_buckets": q_hot_buckets,
         "pdf_text_roundtrip": q_pdf_text_roundtrip,
+        "bpe_tokenize": q_bpe_tokenize,
         # --- driver-signed in rounds 1-4 ---
         "kind_route": q_kind_route,
         "ext_filter": q_ext_filter,
@@ -2525,6 +2599,9 @@ def oracle_sql() -> dict[str, str]:
     from ner_ocr_spark.operators.similarity import lsh_topk_oracle_sql
 
     out["lsh_topk"] = lsh_topk_oracle_sql(k=5, dim=64, n_planes=8)
+    bpe = _bpe_oracle_sql()
+    if bpe is not None:
+        out["bpe_tokenize"] = bpe
 
     # --- generated minhash twins (shared sig-CTE template; the affine
     # family constants are the Spark side's 2i+1 / 7919*(i+1)) ---
