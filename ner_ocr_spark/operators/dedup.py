@@ -170,9 +170,11 @@ def hot_bucket_report(
         bucketed.groupBy(*keys)
         .agg(F.count("*").alias("bucket_df"))
         .filter(F.col("bucket_df") > F.lit(max_bucket_df))
+        # integer `div`, not float `/`: a 10^9-doc bucket's pair count
+        # exceeds 2^53 and float division would round it
         .withColumn(
             "pairs_avoided",
-            (F.col("bucket_df") * (F.col("bucket_df") - 1) / 2).cast("long"),
+            F.expr("bucket_df * (bucket_df - 1) div 2"),
         )
     )
 

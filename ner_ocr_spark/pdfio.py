@@ -1329,14 +1329,7 @@ def _make_font_decoder(objs, fd: dict):
 
 
 def _font_decoders(objs, page: dict) -> dict[str, object]:
-    res = _deref(objs, page.get("Resources", {})) or {}
-    fonts = _deref(objs, res.get("Font", {})) or {}
-    out: dict[str, object] = {}
-    for name, ref in fonts.items():
-        fd = _deref(objs, ref)
-        if isinstance(fd, dict):
-            out[str(name)] = _make_font_decoder(objs, fd)
-    return out
+    return _fonts_from_resources(objs, page.get("Resources"))
 
 
 def _content_tokens(data: bytes):

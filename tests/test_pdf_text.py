@@ -396,3 +396,33 @@ def test_form_xobject_text_recursion():
     assert pdfio.extract_page_content(blob) == [
         ("text", ["on the page", "inside the form"])
     ]
+
+
+def test_torture_combined_modes_end_to_end(spark):
+    """Everything at once: /ObjStm + xref stream + AES-256 encryption +
+    ToUnicode CMap + TJ kerning + a scanned page mixed with a
+    born-digital page — one document through the full Spark pipeline
+    with exact span equality."""
+    scan = font.render_lines(["SCANNED TORTURE LINE"], scale=3, margin=10)
+    scan = np.where(scan == 0, np.uint8(40), np.uint8(210))
+    blob = pdfio.encode_image_pdf(
+        [scan, ["kerned unicode line Ω", "second digital line"]],
+        objstm=True, encrypt="aes-256",
+        text_tounicode=True, text_tj_kern=True,
+    )
+    # sanity: the reader alone round-trips
+    got = pdfio.extract_page_content(blob)
+    assert [k for k, _ in got] == ["image", "text"]
+    assert got[1][1] == ["kerned unicode line Ω", "second digital line"]
+    out = pipeline.run(
+        spark, _docs(spark), blob_resolver=_resolver_for(blob)
+    )
+    spans = {r["doc_id"]: r["spans"] for r in out.collect()}["p0"]
+    want = [
+        ("text", "INTRO TEXT SPAN"),
+        ("pdf", normalize_text("SCANNED TORTURE LINE")),
+        ("pdf", normalize_text("kerned unicode line Ω")),
+        ("pdf", normalize_text("second digital line")),
+        ("text", "CLOSING SPAN"),
+    ]
+    assert [(s["kind"], s["text"]) for s in spans] == want
