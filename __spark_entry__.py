@@ -409,6 +409,55 @@ def q_pdf_text_roundtrip(spark, sf):  # born-digital PDF path, value-checked
     return docs.select("doc_id", roundtrip("text").alias("pdf_text"))
 
 
+def q_pdf_info_roundtrip(spark, sf):  # encrypted metadata path, value-checked
+    """Driver-signed VALUE oracle for PDF metadata + STRING decryption:
+    each doc writes an ENCRYPTED one-page PDF carrying an /Info dict
+    (Title has non-ASCII so the UTF-16BE text-string path is exercised;
+    the cipher rotates through all four supported modes by doc_id), then
+    pdf_info reads Title/Author back — per-object string decryption,
+    Algorithm 2.B included, all under the value hash. The twin is the
+    same deterministic string construction in SQL."""
+    from pyspark.sql.functions import pandas_udf
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id", "text"
+    )
+
+    @pandas_udf("title string, author string, mode string")
+    def roundtrip(doc_ids, texts):
+        import pandas as pd
+
+        from ner_ocr_spark import pdfio
+
+        modes = ["rc4-40", "rc4-128", "aes-128", "aes-256"]
+        titles, authors, used = [], [], []
+        for did, t in zip(doc_ids, texts):
+            mode = modes[int(did) % 4]
+            blob = pdfio.encode_image_pdf(
+                [["metadata fixture page"]],
+                encrypt=mode,
+                info={
+                    "Title": f"Doc {int(did)} — {(t or '')[:20]}",
+                    "Author": f"author{int(did) % 7}",
+                },
+            )
+            got = pdfio.pdf_info(blob)
+            titles.append(got.get("Title"))
+            authors.append(got.get("Author"))
+            used.append(mode)
+        return pd.DataFrame(
+            {"title": titles, "author": authors, "mode": used}
+        )
+
+    out = roundtrip("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        out["title"].alias("title"),
+        out["author"].alias("author"),
+        out["mode"].alias("mode"),
+    )
+
+
 _BPE_MERGES = 24
 _BPE_MAX_WORDS = 2000
 _BPE_DOCS = 300
@@ -1575,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_buckets": q_hot_buckets,
         "pdf_text_roundtrip": q_pdf_text_roundtrip,
         "bpe_tokenize": q_bpe_tokenize,
+        "pdf_info_roundtrip": q_pdf_info_roundtrip,
         # --- driver-signed in rounds 1-4 ---
         "kind_route": q_kind_route,
         "ext_filter": q_ext_filter,
@@ -2602,6 +2652,19 @@ def oracle_sql() -> dict[str, str]:
     bpe = _bpe_oracle_sql()
     if bpe is not None:
         out["bpe_tokenize"] = bpe
+    # pdf_info_roundtrip: the metadata strings are pure functions of
+    # (doc_id, text); an exact round trip means the SQL construction IS
+    # the expected output (mode names included — they rotate by doc_id)
+    out["pdf_info_roundtrip"] = """
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) || ' — '
+                      || substr(text, 1, 20) AS title,
+               'author' || CAST(doc_id % 7 AS VARCHAR) AS author,
+               CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'rc4-40' WHEN 1 THEN 'rc4-128'
+                   WHEN 2 THEN 'aes-128' ELSE 'aes-256' END AS mode
+        FROM documents WHERE doc_id < 40
+    """
 
     # --- generated minhash twins (shared sig-CTE template; the affine
     # family constants are the Spark side's 2i+1 / 7919*(i+1)) ---

@@ -14,6 +14,7 @@ internally), so this module widens coverage past it.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache as _lru_cache
 from hashlib import md5
 
 # --------------------------------------------------------------------------
@@ -298,7 +299,15 @@ def check_user_password(password: bytes, o_entry: bytes, u_entry: bytes,
 
 def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
     """Algorithm 2.B: the iterated SHA-256/384/512 password hash. `udata`
-    is the 48-byte /U entry when hashing owner passwords, else empty."""
+    is the 48-byte /U entry when hashing owner passwords, else empty.
+    Cached: the chain runs 64+ AES-CBC rounds in pure python (~1 s), and
+    both the reader and a fixture fleet re-derive the same
+    (password, salt) pairs constantly."""
+    return _hash_2b_cached(bytes(password), bytes(salt), bytes(udata))
+
+
+@_lru_cache(maxsize=64)
+def _hash_2b_cached(password: bytes, salt: bytes, udata: bytes) -> bytes:
     from hashlib import sha256, sha384, sha512
 
     k = sha256(password + salt + udata).digest()

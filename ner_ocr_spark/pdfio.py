@@ -490,16 +490,40 @@ def _find_encrypt(blob: bytes, objs) -> tuple[dict, bytes] | None:
     return None
 
 
-def _decrypt_objects(objs, enc: dict, id0: bytes) -> None:
+class _CryptContext:
+    """File key + cipher selection, for decrypting non-stream data
+    (Info strings) after _decrypt_objects has handled the streams."""
+
+    __slots__ = ("key", "aes", "file_key_direct")
+
+    def __init__(self, key: bytes, aes: bool, file_key_direct: bool):
+        self.key = key
+        self.aes = aes
+        self.file_key_direct = file_key_direct  # AESV3: no per-object key
+
+    def decrypt(self, data: bytes, num: int) -> bytes:
+        from ner_ocr_spark import crypto
+
+        ek = (self.key if self.file_key_direct
+              else crypto.object_key(self.key, num, 0, self.aes))
+        if self.aes:
+            return crypto.aes_cbc_decrypt(ek, bytes(data))
+        return crypto.rc4(ek, bytes(data))
+
+
+def _decrypt_objects(objs, enc: dict, id0: bytes):
     """Standard security handler, EMPTY user password only (the common
     "encrypted but openable by anyone" shape): authenticate, derive the
     file key, and decrypt every stream payload in place (RC4 for /V 1-2
-    and /V4+/CFM /V2; AES-128-CBC for /V4+/CFM /AESV2). Cross-reference
-    streams are never encrypted (spec) and are skipped. Fails CLOSED with
-    distinct messages for non-Standard handlers, /V5 (AES-256), and
-    non-empty user passwords — absorbed per row by the pipeline. Subset
-    note: the brute scan keeps generation 0 for every object, so per-
-    object keys assume gen 0 (re-used generations are vanishingly rare)."""
+    and /V4+/CFM /V2; AES-128-CBC for /V4+/CFM /AESV2; AES-256 for
+    /V5/R6 AESV3). Cross-reference streams are never encrypted (spec)
+    and are skipped. Returns a `_CryptContext` so callers (pdf_info) can
+    decrypt STRING values per object too; None when streams are exempt
+    (/StmF Identity). Fails CLOSED with distinct messages for
+    non-Standard handlers, unsupported revisions, and non-empty user
+    passwords — absorbed per row by the pipeline. Subset note: the brute
+    scan keeps generation 0 for every object, so per-object keys assume
+    gen 0 (re-used generations are vanishingly rare)."""
     from ner_ocr_spark import crypto
 
     filt = enc.get("Filter")
@@ -534,7 +558,7 @@ def _decrypt_objects(objs, enc: dict, id0: bytes) -> None:
                     f"object {num}: decryption failed ({e})"
                 ) from e
             objs[num] = (value, dec)
-        return
+        return _CryptContext(key, True, True)
     if v not in (1, 2, 4) or r not in (2, 3, 4):
         raise PdfError(
             f"encrypted PDF: /V {v} /R {r} unsupported"
@@ -581,6 +605,7 @@ def _decrypt_objects(objs, enc: dict, id0: bytes) -> None:
         except Exception as e:  # noqa: BLE001 — corrupt ciphertext
             raise PdfError(f"object {num}: decryption failed ({e})") from e
         objs[num] = (value, dec)
+    return _CryptContext(key, aes, False)
 
 
 _INHERITABLE = ("Rotate", "MediaBox", "Resources")
@@ -1740,6 +1765,68 @@ def encode_text_pdf(pages: list, **kw) -> bytes:
     return encode_image_pdf(list(pages), **kw)
 
 
+def _find_info_ref(blob: bytes, objs) -> Ref | None:
+    m = None
+    for m in re.finditer(rb"trailer", blob):
+        pass
+    if m is not None:
+        try:
+            tr = _Scanner(blob, m.end()).parse()
+            if isinstance(tr, dict) and isinstance(tr.get("Info"), Ref):
+                return tr["Info"]
+        except PdfError:
+            pass
+    for _, (value, _s) in sorted(objs.items()):
+        if (isinstance(value, dict) and value.get("Type") == "XRef"
+                and isinstance(value.get("Info"), Ref)):
+            return value["Info"]
+    return None
+
+
+def _pdf_text_string(data: bytes) -> str:
+    """PDF text-string decode: UTF-16BE with BOM, else PDFDocEncoding
+    (latin-1-compatible for the printable subset)."""
+    if data[:2] == b"\xfe\xff":
+        return data[2:].decode("utf-16-be", "replace")
+    return data.decode("latin-1")
+
+
+def pdf_info(blob: bytes) -> dict:
+    """Document metadata: the /Info dictionary's entries (Title, Author,
+    Subject, dates, ...) decoded as PDF text strings, plus n_pages — what
+    a crawl pipeline wants for dedupe keys and date filters. Encrypted
+    files decrypt STRING values too: strings encrypt exactly like
+    streams (per-object key through R4, the file key under AESV3), which
+    the stream-only pass doesn't touch."""
+    blob = bytes(blob)
+    objs, pos_of = _scan_objects(blob)
+    found = _find_encrypt(blob, objs)
+    crypt = None
+    if found is not None:
+        crypt = _decrypt_objects(objs, *found)
+    _expand_objstms(objs, pos_of)
+    if not objs:
+        raise PdfError("no indirect objects found")
+    out: dict[str, object] = {}
+    info_ref = _find_info_ref(blob, objs)
+    if info_ref is not None and info_ref.num in objs:
+        value = objs[info_ref.num][0]
+        if isinstance(value, dict):
+            for k, v in value.items():
+                if isinstance(v, (bytes, bytearray)):
+                    raw = bytes(v)
+                    if crypt is not None:
+                        raw = crypt.decrypt(raw, info_ref.num)
+                    out[str(k)] = _pdf_text_string(raw)
+                elif isinstance(v, (bool, int, float, Name)):
+                    out[str(k)] = v
+    root = _deref(objs, objs[_trailer_root(blob, objs)][0])
+    pages: list[dict] = []
+    _walk_pages(objs, root.get("Pages"), pages)
+    out["n_pages"] = len(pages)
+    return out
+
+
 def pdfio_rasterizer(blob: bytes, zoom: float = 2.0) -> list[bytes]:
     """operators.pdf Rasterizer adapter: embedded page bitmaps re-encoded
     as PNG. `zoom` is a rasterization-density knob and does not apply to
@@ -1824,6 +1911,7 @@ def encode_image_pdf(
     text_font_size: float = 12.0,
     text_leading: float | None = None,
     encrypt: str | None = None,
+    info: dict[str, str] | None = None,
 ) -> bytes:
     """Write a PDF with one image OR text page per element. Each element
     of `pages` is a 2-D uint8 numpy array (embedded as FlateDecode
@@ -2094,8 +2182,18 @@ def encode_image_pdf(
                 b"/Encoding /WinAnsiEncoding >>"
             )
 
-    # --- optional standard-security-handler encryption -------------------
+    # --- optional /Info metadata dictionary -------------------------------
+    # reserved BEFORE the encryption setup so the file /ID (a hash of the
+    # object bodies) sees a stable placeholder; the body is filled after
+    # the key exists because encrypted files encrypt Info's STRING values
     trailer_extra = b""
+    info_num: int | None = None
+    if info is not None:
+        info_num = add(b"")
+        stream_obj_nums.add(info_num)  # keep direct: its strings carry
+        # their OWN per-object encryption, unlike ObjStm members
+
+    # --- optional standard-security-handler encryption -------------------
     _enc_body = None
     if encrypt is not None:
         from hashlib import md5 as _md5
@@ -2116,12 +2214,16 @@ def encode_image_pdf(
             from hashlib import sha256 as _sha256
 
             fkey = _sha256(b"filekey" + id0).digest()
+            # FIXED salts (a real writer randomizes them): with the empty
+            # password the Algorithm 2.B chain then only ever runs on a
+            # handful of distinct inputs, and crypto's lru_cache makes a
+            # whole fixture fleet pay the ~1 s pure-python chain once.
+            # File keys still differ per document (hash of the content).
             u_entry, ue_entry = _crypto.r6_user_entries(
-                b"", fkey, id0[:8], id0[8:16]
+                b"", fkey, b"UVALSALT", b"UKEYSALT"
             )
-            osalts = _md5(id0).digest()
             o_entry, oe_entry = _crypto.r6_owner_entries(
-                b"", fkey, u_entry, osalts[:8], osalts[8:16]
+                b"", fkey, u_entry, b"OVALSALT", b"OKEYSALT"
             )
             enc_body = (
                 b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d "
@@ -2171,6 +2273,30 @@ def encode_image_pdf(
             head = re.sub(rb"/Length \d+", b"/Length %d" % len(data),
                           body[:i], count=1)
             return head + b"stream\n" + data + b"\nendstream"
+
+    if info_num is not None:
+        # strings always as UTF-16BE-with-BOM hex (lossless unicode);
+        # under encryption each string encrypts with the Info object's
+        # key (file key for AESV3) — the string form of what _enc_body
+        # does for stream payloads
+        def _info_str(s: str) -> bytes:
+            raw = b"\xfe\xff" + str(s).encode("utf-16-be")
+            if encrypt is not None:
+                from hashlib import md5 as _md5i
+
+                from ner_ocr_spark import crypto as _crypto_i
+
+                ek = (fkey if v == 5
+                      else _crypto_i.object_key(fkey, info_num, 0, aes))
+                raw = (_crypto_i.aes_cbc_encrypt(
+                           ek, raw, _md5i(b"iv:info").digest())
+                       if aes else _crypto_i.rc4(ek, raw))
+            return b"<" + raw.hex().encode() + b">"
+
+        parts = [b"/%s %s" % (str(k).encode("ascii"), _info_str(val))
+                 for k, val in sorted(info.items())]
+        objects[info_num - 1] = b"<< " + b" ".join(parts) + b" >>"
+        trailer_extra += b" /Info %d 0 R" % info_num
 
     if not objstm:
         buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")

@@ -426,3 +426,26 @@ def test_torture_combined_modes_end_to_end(spark):
         ("text", "CLOSING SPAN"),
     ]
     assert [(s["kind"], s["text"]) for s in spans] == want
+
+
+@pytest.mark.parametrize("enc", [None, "rc4-128", "aes-128", "aes-256"])
+@pytest.mark.parametrize("objstm", [False, True])
+def test_pdf_info_roundtrip_all_modes(enc, objstm):
+    """/Info metadata: UTF-16BE text strings, n_pages, and — under
+    encryption — per-object STRING decryption (file key under AESV3),
+    across classic and objstm forms."""
+    meta = {"Title": "Quarterly Report — Ω edition", "Author": "alice"}
+    blob = pdfio.encode_image_pdf(
+        [["one line"], ["two"]], objstm=objstm, encrypt=enc, info=meta
+    )
+    got = pdfio.pdf_info(blob)
+    assert got["Title"] == meta["Title"]
+    assert got["Author"] == "alice"
+    assert got["n_pages"] == 2
+    # content still round-trips alongside the metadata
+    pages = pdfio.extract_page_content(blob)
+    assert pages[0][1] == ["one line"] and pages[1][1] == ["two"]
+
+
+def test_pdf_info_absent_is_just_page_count():
+    assert pdfio.pdf_info(pdfio.encode_image_pdf([["x"]])) == {"n_pages": 1}
