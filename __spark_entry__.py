@@ -829,6 +829,37 @@ def q_gopher_filter(spark, sf):  # Gopher quality rules, value-checked
     return gopher_filter(docs).drop("text")
 
 
+def q_temperature_mix(spark, sf):  # temperature-mixed sampling, value-checked
+    """The multilingual-LM mixing rule as an operator: q_s ∝ p_s^tau
+    keep-rates from the corpus's own source shares (tau=0.5 flattens
+    toward uniform — the rarest source keeps 100%, dominant sources
+    downsample), applied via the portable md5 unit hash. The report
+    aggregates per source: input size, share, rate, kept count — rates
+    round to 6 dp before the boundary compare on BOTH engines, so a
+    last-ulp pow() difference cannot flip a row."""
+    from ner_ocr_spark.operators.sampling import (
+        temperature_rates,
+        temperature_sample,
+        unit_hash_md5,
+    )
+
+    docs = _t(spark, sf, "documents")
+    kept = temperature_sample(
+        docs, strata_col="source", tau=0.5, seed=11, unit_hash=unit_hash_md5
+    ).groupBy("source").agg(F.count("*").alias("n_kept"))
+    rates = temperature_rates(docs, "source", tau=0.5)
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("share", 4).alias("share"),
+            F.round("rate", 4).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 def q_stratified_sample(spark, sf):  # deterministic domain-mixing sample
     """Per-language keep rates via the portable md5 unit hash — the exact
     row set is reproducible across engines, runs, and task retries
@@ -1625,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_roundtrip": q_pdf_text_roundtrip,
         "bpe_tokenize": q_bpe_tokenize,
         "pdf_info_roundtrip": q_pdf_info_roundtrip,
+        "temperature_mix": q_temperature_mix,
         # --- driver-signed in rounds 1-4 ---
         "kind_route": q_kind_route,
         "ext_filter": q_ext_filter,
@@ -2141,6 +2173,34 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'stopword_hits' END
                    ], x -> x IS NOT NULL), ','), '') AS reject_reasons
             FROM m
+        """,
+        "temperature_mix": """
+            WITH c AS (
+                SELECT source, count(*) AS n_docs
+                FROM documents GROUP BY source
+            ), r AS (
+                SELECT source, n_docs,
+                       n_docs / CAST(sum(n_docs) OVER () AS DOUBLE) AS share,
+                       pow(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE),
+                           -0.5) AS _r
+                FROM c
+            ), rr AS (
+                SELECT source, n_docs, share,
+                       round(_r / max(_r) OVER (), 6) AS rate
+                FROM r
+            ), kept AS (
+                SELECT d.source, count(*) AS n_kept
+                FROM documents d JOIN rr ON d.source = rr.source
+                WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                              || ':11'), 1, 15) AS BIGINT)
+                      / 1152921504606846976.0 < rr.rate
+                GROUP BY d.source
+            )
+            SELECT rr.source, rr.n_docs,
+                   round(rr.share, 4) AS share,
+                   round(rr.rate, 4) AS rate,
+                   coalesce(kept.n_kept, 0) AS n_kept
+            FROM rr LEFT JOIN kept ON rr.source = kept.source
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

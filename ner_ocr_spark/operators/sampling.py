@@ -81,6 +81,50 @@ def stratified_sample(
     return df.filter(u < rate)
 
 
+def temperature_rates(
+    df: DataFrame, strata_col: str = "source", tau: float = 0.5
+) -> DataFrame:
+    """(stratum, share, rate): per-stratum keep-rates implementing
+    temperature sampling — sample distribution q_s ∝ p_s^tau (tau < 1
+    flattens toward uniform, upweighting low-resource strata; the
+    standard multilingual-LM mixing rule). As a FILTER rate that cannot
+    exceed 1, rates are p_s^(tau-1) normalized by the maximum (the
+    rarest stratum keeps everything; others downsample toward the target
+    distribution). Rates round to 6 dp so the boundary comparison is
+    engine-portable (a last-ulp pow() difference cannot flip a row).
+
+    The aggregate is one map-side-combined shuffle to a |strata|-row
+    table; the global windows below run on THAT, not the corpus."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(w)
+    scored = counts.select(
+        strata_col, "n_docs", share.alias("share"),
+        F.pow(share, F.lit(float(tau)) - 1.0).alias("_r"),
+    )
+    return scored.select(
+        strata_col, "n_docs", "share",
+        F.round(F.col("_r") / F.max("_r").over(w), 6).alias("rate"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    tau: float = 0.5,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    unit_hash=None,
+) -> DataFrame:
+    """Deterministic temperature-mixed sample: broadcast the tiny rate
+    table back onto the corpus and keep rows whose unit hash falls under
+    their stratum's rate — one broadcast join + filter, no corpus-side
+    extra shuffle."""
+    rates = temperature_rates(df, strata_col, tau).select(strata_col, "rate")
+    u = (unit_hash or unit_hash_xx)(F.col(key_col), seed)
+    return df.join(F.broadcast(rates), strata_col).filter(u < F.col("rate"))
+
+
 def sample_per_stratum(
     df: DataFrame,
     k: int,

@@ -523,3 +523,35 @@ def test_interval_join_rejects_pathological_intervals(spark):
     inverted = spark.createDataFrame([(11, 500, 100)], "iid long, s long, e long")
     with pytest.raises(Exception, match="end < start"):
         interval_join(pts, inverted, "epoch", "s", "e", bucket=3600).collect()
+
+
+# --- temperature mixing (round 5) -------------------------------------------
+
+
+def test_temperature_rates_and_sample(spark):
+    """q_s ∝ p_s^tau as filter rates: the rarest stratum keeps 100%
+    (rate 1.0), dominant strata downsample by (p_rare/p_s)^(1-tau), and
+    the sampled row set is deterministic across runs."""
+    from ner_ocr_spark.operators.sampling import (
+        temperature_rates,
+        temperature_sample,
+        unit_hash_md5,
+    )
+
+    rows = ([(i, "big") for i in range(900)]
+            + [(1000 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {r["source"]: r for r in
+             temperature_rates(df, "source", tau=0.5).collect()}
+    assert rates["small"]["rate"] == 1.0
+    # rate_big = (p_small / p_big)^(1 - tau) = (0.1/0.9)^0.5
+    assert abs(rates["big"]["rate"] - (100 / 900) ** 0.5) < 1e-6
+    a = sorted(r["doc_id"] for r in temperature_sample(
+        df, "source", tau=0.5, unit_hash=unit_hash_md5).collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(
+        df, "source", tau=0.5, unit_hash=unit_hash_md5).collect())
+    assert a == b and a  # deterministic, non-empty
+    kept_small = sum(1 for i in a if i >= 1000)
+    assert kept_small == 100  # rate 1.0 keeps every small-stratum row
+    kept_big = len(a) - kept_small
+    assert 0 < kept_big < 900  # genuinely downsampled
