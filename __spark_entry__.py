@@ -396,10 +396,16 @@ def q_pdf_text_roundtrip(spark, sf):  # born-digital PDF path, value-checked
         ws = _re.compile(r"[ \t\n\x0B\f\r]+")  # the pinned ASCII class
 
         def one(t):
-            words = [w for w in ws.split(t or "") if w]
+            words = [w for w in ws.split(t if isinstance(t, str) else "") if w]
             lines = [" ".join(words[i : i + 10])
                      for i in range(0, len(words), 10)]
-            blob = pdfio.encode_text_pdf([lines])
+            try:
+                blob = pdfio.encode_text_pdf([lines])
+            except pdfio.PdfError:
+                # non-WinAnsi chars (not in this corpus, but the query
+                # must not CRASH if the corpus ever gains them): the
+                # ToUnicode writer mode round-trips arbitrary unicode
+                blob = pdfio.encode_text_pdf([lines], tounicode=True)
             ((kind, out_lines),) = pdfio.extract_page_content(blob)
             assert kind == "text"
             return "\n".join(out_lines)
@@ -437,7 +443,7 @@ def q_pdf_info_roundtrip(spark, sf):  # encrypted metadata path, value-checked
                 [["metadata fixture page"]],
                 encrypt=mode,
                 info={
-                    "Title": f"Doc {int(did)} — {(t or '')[:20]}",
+                    "Title": "Doc %d — %s" % (int(did), (t if isinstance(t, str) else "")[:20]),
                     "Author": f"author{int(did) % 7}",
                 },
             )
@@ -2718,7 +2724,7 @@ def oracle_sql() -> dict[str, str]:
     out["pdf_info_roundtrip"] = """
         SELECT doc_id,
                'Doc ' || CAST(doc_id AS VARCHAR) || ' — '
-                      || substr(text, 1, 20) AS title,
+                      || coalesce(substr(text, 1, 20), '') AS title,
                'author' || CAST(doc_id % 7 AS VARCHAR) AS author,
                CASE CAST(doc_id % 4 AS INT)
                    WHEN 0 THEN 'rc4-40' WHEN 1 THEN 'rc4-128'
