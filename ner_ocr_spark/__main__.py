@@ -16,6 +16,9 @@ Modes:
             boilerplate via the readability-style DOM heuristics and adds
             main_text + title/headline/n_links/links_joined columns
             (north rule: HTML boilerplate strip / DOM heuristics)
+  pdf     — per-page census over (id, pdf bytes): page kind
+            (image/text), born-digital text, /Info metadata (decrypted
+            when the standard handler allows the empty user password)
 
 Run locally:
     python -m ner_ocr_spark extract -i docs.parquet -o out/
@@ -33,7 +36,8 @@ import sys
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="ner_ocr_spark")
     p.add_argument("mode",
-                   choices=["extract", "ocr", "entity", "curate", "html"])
+                   choices=["extract", "ocr", "entity", "curate", "html",
+                            "pdf"])
     p.add_argument("-i", "--input", required=True,
                    help="parquet path of documents(doc_id, spans) — or of "
                         "stage-1 span rows for mode=entity")
@@ -61,6 +65,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="curate: sampling hash seed")
     p.add_argument("--html-col", default="html",
                    help="html: input column holding page markup")
+    p.add_argument("--pdf-col", default="payload",
+                   help="pdf: input column holding the PDF bytes")
+    p.add_argument("--id-col", default="doc_id",
+                   help="pdf: identifier column carried through")
     return p.parse_args(argv)
 
 
@@ -161,6 +169,22 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"mode": "html", "output": args.output,
                           "n_pages": obs.get["n"]}))
+        spark.stop()
+        return 0
+
+    if args.mode == "pdf":
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from ner_ocr_spark.operators.pdf import pdf_report
+
+        rows = spark.read.parquet(args.input)
+        out = pdf_report(rows, payload_col=args.pdf_col, id_col=args.id_col)
+        obs = Observation("pdf")
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"mode": "pdf", "output": args.output,
+                          "n_rows": obs.get["n"]}))
         spark.stop()
         return 0
 

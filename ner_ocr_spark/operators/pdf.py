@@ -142,6 +142,81 @@ def make_pdf_stage(
     return stage
 
 
+PDF_REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("page_idx", T.IntegerType(), True),
+        T.StructField("page_kind", T.StringType(), True),
+        T.StructField("page_text", T.StringType(), True),
+        T.StructField("n_lines", T.IntegerType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("author", T.StringType(), True),
+        T.StructField("n_pages", T.IntegerType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def pdf_report(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-page PDF census over a (id, pdf bytes) table: one row per page
+    with its kind ('image' raster page / 'text' born-digital) and the
+    extracted text for text pages, plus the document's /Info metadata
+    (title/author, decrypted when the file is encrypted) repeated per
+    page. A zero-page document yields one metadata-only row; a file
+    outside the subset yields one error row (M6 absorption). Map-only
+    mapInPandas — payload bytes never shuffle."""
+
+    def stage(batches):
+        import pandas as pd
+
+        from ner_ocr_spark import pdfio
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in PDF_REPORT_SCHEMA.fieldNames()}
+
+            def emit(did, page_idx=None, kind=None, text=None, n_lines=None,
+                     title=None, author=None, n_pages=None, error=None):
+                out["doc_id"].append(str(did))
+                out["page_idx"].append(page_idx)
+                out["page_kind"].append(kind)
+                out["page_text"].append(text)
+                out["n_lines"].append(n_lines)
+                out["title"].append(title)
+                out["author"].append(author)
+                out["n_pages"].append(n_pages)
+                out["error"].append(error)
+
+            for row in pdf.itertuples(index=False):
+                did = getattr(row, id_col)
+                try:
+                    blob = bytes(getattr(row, payload_col))
+                    info = pdfio.pdf_info(blob)
+                    title = info.get("Title")
+                    author = info.get("Author")
+                    n_pages = int(info.get("n_pages", 0))
+                    pages = pdfio.extract_page_content(blob)
+                    if not pages:
+                        emit(did, title=title, author=author, n_pages=0)
+                    for pi, (kind, v) in enumerate(pages):
+                        if kind == "text":
+                            emit(did, pi, "text", "\n".join(v), len(v),
+                                 title, author, n_pages)
+                        else:
+                            emit(did, pi, "image", None, None,
+                                 title, author, n_pages)
+                except Exception as e:  # noqa: BLE001 — M6 absorption
+                    emit(did, error=f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype=object) for k, v in out.items()}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stage, PDF_REPORT_SCHEMA
+    )
+
+
 def pdf_to_pages(
     pdf_spans: DataFrame,
     rasterizer: Rasterizer | None = None,

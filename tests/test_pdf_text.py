@@ -449,3 +449,42 @@ def test_pdf_info_roundtrip_all_modes(enc, objstm):
 
 def test_pdf_info_absent_is_just_page_count():
     assert pdfio.pdf_info(pdfio.encode_image_pdf([["x"]])) == {"n_pages": 1}
+
+
+def test_pdf_report_and_cli_mode(spark, tmp_path, monkeypatch):
+    """Operator + CLI: per-page census with metadata over a payload
+    table, error rows for out-of-subset files."""
+    import numpy as np
+
+    from ner_ocr_spark.operators.pdf import pdf_report
+
+    img = (np.arange(40 * 40, dtype=np.uint32) * 11 % 251).astype(np.uint8)
+    good = pdfio.encode_image_pdf(
+        [img.reshape(40, 40), ["digital line one", "line two"]],
+        encrypt="aes-128", info={"Title": "Census Doc", "Author": "bob"},
+    )
+    rows = spark.createDataFrame(
+        [("a", bytearray(good)), ("b", bytearray(b"not a pdf"))],
+        "doc_id string, payload binary",
+    )
+    got = {(r["doc_id"], r["page_idx"]): r
+           for r in pdf_report(rows).collect()}
+    assert got[("a", 0)]["page_kind"] == "image"
+    r1 = got[("a", 1)]
+    assert r1["page_kind"] == "text"
+    assert r1["page_text"] == "digital line one\nline two"
+    assert r1["n_lines"] == 2 and r1["title"] == "Census Doc"
+    assert r1["author"] == "bob" and r1["n_pages"] == 2
+    err = got[("b", None)]
+    assert err["error"] is not None and "PDF" in err["error"]
+
+    # CLI drive — main() stops its session on exit; share the fixture's
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    inp, outp = str(tmp_path / "in.pq"), str(tmp_path / "out")
+    rows.write.parquet(inp)
+    from ner_ocr_spark.__main__ import main
+
+    assert main(["pdf", "-i", inp, "-o", outp]) == 0
+    back = spark.read.parquet(outp)
+    assert back.count() == 3
+    assert back.filter("page_kind = 'text'").count() == 1
