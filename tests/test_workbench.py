@@ -247,3 +247,55 @@ def test_refine_stage_pairs_rows_straddling_batches(spark):
     for i, r in enumerate(got):
         assert r["transformer_text"] is not None, f"line {i} not refined"
         assert normalize_text(r["transformer_text"]) == truth[i]
+
+
+def test_enhancement_mixed_text_and_raster_pdf(spark):
+    """Round-5: a PDF mixing a scanned page with a BORN-DIGITAL text
+    page through the workbench enhance path — raster-page rows refine
+    (transformer cols set), text-page rows are already exact (score 1.0)
+    and the refine stage must skip them (str page in the page list),
+    leaving transformer cols NULL without disturbing the raster page's
+    pairing."""
+    import numpy as np
+
+    from ner_ocr_spark import font, pdfio
+    from ner_ocr_spark.kernels.normalize import normalize_text
+    from tests.conftest import DOC_SCHEMA
+
+    scan_lines = ["ALICE COOPER MET BOB STONE", "IN LONDON TODAY"]
+    img = font.render_lines(scan_lines, scale=3, margin=10)
+    scan = np.where(img == 0, np.uint8(40), np.uint8(210))
+    blob = pdfio.encode_image_pdf([scan, ["digital page line"]])
+    resolver = (lambda b: (lambda ref: b))(blob)
+
+    docs = spark.createDataFrame(
+        [{
+            "doc_id": "p0",
+            "spans": [
+                {"kind": "pdf", "text": None,
+                 "media_ref": "store/mixed.pdf", "offset": 0},
+            ],
+        }],
+        DOC_SCHEMA,
+    )
+    w = Workbench()
+    w.load(docs)
+    w.run_ocr(blob_resolver=resolver)
+    w.run_search("positional", x1=0.0, y1=0.0, x2=1e6, y2=1e6)
+    enhanced = w.run_enhancement()
+    rows = enhanced.filter(
+        "kind = 'pdf' and error is null and text is not null"
+    ).collect()
+    by_page = {}
+    for r in rows:
+        by_page.setdefault(r["line_idx"] // 100000, []).append(r)
+    assert sorted(by_page) == [0, 1]
+    for r in by_page[0]:  # raster page: refined
+        line = r["line_idx"] % 100000
+        assert r["transformer_text"] is not None
+        assert normalize_text(r["transformer_text"]) == \
+            normalize_text(scan_lines[line])
+    (tr,) = by_page[1]  # text page: exact already, never refined
+    assert tr["text"] == normalize_text("digital page line")
+    assert tr["score"] == 1.0
+    assert tr["transformer_text"] is None and tr["transformer_score"] is None
