@@ -26,7 +26,27 @@ from pyspark.sql import functions as F
 from ner_ocr_spark.operators.dedup import md5_hash60, normalize_for_dedup
 from ner_ocr_spark.operators.packing import pack_sequences
 from ner_ocr_spark.operators.sampling import stratified_sample
-from ner_ocr_spark.operators.textstats import gopher_filter, repetition_stats
+from ner_ocr_spark.operators.textstats import (
+    gopher_filter,
+    repetition_cols,
+    token_count_ws,
+)
+
+
+def _fence(col):
+    """Value-preserving pushdown fence: shuffling a SINGLE-element array is
+    a nondeterministic no-op (element_at(shuffle([x]), 1) == x, including
+    NULL), and a nondeterministic alias is one
+    PushPredicateThroughNonJoin cannot substitute into a Filter condition.
+    Without it, `filter(keep == 1)` over the map-only quality/repetition
+    projections inlines each heavy HOF tree (gram hashing, sort, fold)
+    4-6x into the predicate — measured 110 s vs 13 s for the sf1 curation
+    (the pre-round-6 hash-aggregate was an accidental barrier). Task
+    retries re-shuffle a 1-element array — the value never changes. (A
+    rand(seed) >= -1 guard does NOT survive: Spark 4 folds it by value
+    range.) Guide §4.4 — the same duplication fix as asNondeterministic
+    for UDFs, applied to codegen-free expression trees."""
+    return F.element_at(F.shuffle(F.array(col), 7), 1)
 
 
 def curate(
@@ -51,18 +71,31 @@ def curate(
     oracle compose the per-stage SQL verbatim."""
     base = docs.select("doc_id", strata_col, "text")
     kept_quality = (
-        gopher_filter(base).filter(F.col("keep") == 1)
+        gopher_filter(base).withColumn("keep", _fence(F.col("keep")))
+        .filter(F.col("keep") == 1)
         .select("doc_id", strata_col, "text")
     )
-    rep_keep = (
-        repetition_stats(kept_quality).filter(F.col("keep") == 1)
-        .select("doc_id")
+    # repetition stats are per-row (round 6: map-only repetition_cols), so
+    # the keep flag filters IN PLACE — the previous
+    # repetition_stats -> left_semi self-join re-keyed the corpus by doc_id
+    # for no reason (guide §2.4)
+    kept = (
+        repetition_cols(kept_quality)
+        .withColumn("keep", _fence(F.col("keep")))
+        .filter(F.col("keep") == 1)
+        .select("doc_id", strata_col, "text")
     )
-    kept = kept_quality.join(rep_keep, "doc_id", "left_semi")
+    # compute everything downstream still needs from `text` BEFORE the
+    # dedup exchange — the window then shuffles (id, stratum, key, count)
+    # instead of full document bodies (guide §2.3 "shuffle fewer bytes";
+    # pack_sequences consumes the precomputed count via token_count=)
     key = (dedup_key or md5_hash60)(normalize_for_dedup(F.col("text")))
     w = Window.partitionBy("_k").orderBy("doc_id")
     deduped = (
-        kept.withColumn("_k", key)
+        kept.select(
+            "doc_id", strata_col, key.alias("_k"),
+            token_count_ws(F.col("text")).cast("long").alias("_nt"),
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_k", "_rn")
@@ -72,5 +105,6 @@ def curate(
         default_rate=default_rate, seed=seed, unit_hash=unit_hash,
     )
     return pack_sequences(
-        sampled, budget=budget, shards=shards, shard_hash=shard_hash
+        sampled, budget=budget, shards=shards, shard_hash=shard_hash,
+        token_count=F.col("_nt"),
     )

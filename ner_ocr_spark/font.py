@@ -60,13 +60,22 @@ CHARSET = sorted(_ROWS)
 
 
 def glyph_bitmap(ch: str) -> np.ndarray:
-    """(7,5) bool array for one character."""
-    rows = _ROWS[ch]
-    out = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
-    for y, bits in enumerate(rows):
-        for x in range(GLYPH_W):
-            out[y, x] = bool((bits >> (GLYPH_W - 1 - x)) & 1)
-    return out
+    """(7,5) bool array for one character. Cached read-only: the renderer
+    calls this once per character OCCURRENCE (round-6: rebuild per call was
+    measurable in the corpus render path); callers only read/concatenate."""
+    cached = _BITMAP_CACHE.get(ch)
+    if cached is None:
+        rows = _ROWS[ch]
+        cached = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
+        for y, bits in enumerate(rows):
+            for x in range(GLYPH_W):
+                cached[y, x] = bool((bits >> (GLYPH_W - 1 - x)) & 1)
+        cached.setflags(write=False)
+        _BITMAP_CACHE[ch] = cached
+    return cached
+
+
+_BITMAP_CACHE: dict[str, np.ndarray] = {}
 
 
 def template_stack() -> tuple[np.ndarray, list[str]]:

@@ -77,11 +77,15 @@ def despeckle(mask: np.ndarray) -> np.ndarray:
     if not mask.any():
         return mask
     p = np.pad(mask, 1)
-    neigh = (
-        p[:-2, :-2].astype(np.uint8) + p[:-2, 1:-1] + p[:-2, 2:]
-        + p[1:-1, :-2] + p[1:-1, 2:]
-        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
-    )
+    # in-place accumulation (sum <= 8 fits uint8; bool adds as 0/1) — the
+    # chained + form allocated a fresh full-size temp per term
+    neigh = p[:-2, :-2].astype(np.uint8)
+    for sl in (
+        p[:-2, 1:-1], p[:-2, 2:],
+        p[1:-1, :-2], p[1:-1, 2:],
+        p[2:, :-2], p[2:, 1:-1], p[2:, 2:],
+    ):
+        neigh += sl
     return mask & (neigh >= 2)
 
 
@@ -121,6 +125,10 @@ def estimate_skew(
     ysf = ys.astype(np.float32)
     xsf = xs.astype(np.float32)
 
+    # note (round 6): batching the whole angle sweep into one (n_angles,
+    # n_px) matrix + offset bincount was MEASURED SLOWER (6.4 vs 4.1
+    # ms/page) — the per-angle arrays fit L1/L2 while the batch thrashes —
+    # so the scalar loop stays.
     def _obj(ang: float) -> float:
         r = math.radians(ang)
         yprime = ysf * math.cos(r) - xsf * math.sin(r)
@@ -199,14 +207,39 @@ def rotate_gray(gray: np.ndarray, angle_deg: float, bg: int) -> np.ndarray:
     np.clip(x0, -1, w, out=x0)
     y0 += 1
     x0 += 1
-    g = np.full((h + 3, w + 3), np.float32(bg))
+    # float64 ON PURPOSE: fy/fx are float64 (float32 sy minus int32 y0
+    # promotes), so the original mixed g's float32 gathers into float64
+    # products — gathering from a float64 table reproduces those products
+    # bit-for-bit while letting the chains below run in place
+    g = np.full((h + 3, w + 3), float(bg))
     g[1 : h + 1, 1 : w + 1] = gray
-    v = (
-        g[y0, x0] * (1 - fy) * (1 - fx)
-        + g[y0, x0 + 1] * (1 - fy) * fx
-        + g[y0 + 1, x0] * fy * (1 - fx)
-        + g[y0 + 1, x0 + 1] * fy * fx
-    )
+    # flat-index gathers + reused (1-f) factors + in-place accumulation:
+    # bit-identical to the 2-D fancy-indexed form (same multiply/add
+    # association order, same float64 arithmetic), ~2.5x fewer passes over
+    # full-size temporaries (round-6: this call was ~1/3 of ocr_page)
+    gw = w + 3
+    flat = y0
+    flat *= gw
+    flat += x0  # y0/x0 buffers are dead past here — reuse as the index
+    gf = g.ravel()
+    omfy = 1.0 - fy
+    omfx = 1.0 - fx
+    v = gf.take(flat)
+    v *= omfy
+    v *= omfx
+    t = gf.take(flat + 1)
+    t *= omfy
+    t *= fx
+    v += t
+    np.add(flat, gw, out=flat)
+    t2 = gf.take(flat)
+    t2 *= fy
+    t2 *= omfx
+    v += t2
+    t3 = gf.take(flat + 1)
+    t3 *= fy
+    t3 *= fx
+    v += t3
     return np.clip(np.round(v, out=v), 0, 255).astype(np.uint8)
 
 

@@ -52,11 +52,27 @@ def brute_force_topk(
     """Exact cosine top-k per query. queries is small -> broadcast; the big
     side streams map-side (no shuffle of vectors); the only shuffle is the
     per-query top-k window over n_queries*k' rows."""
-    q = F.broadcast(queries.select(F.col(qid_col), F.col(qvec_col)))
-    scored = vectors.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
-        qid_col,
-        id_col,
-        F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)), 4).alias("cosine"),
+    # norms materialize ON EACH SIDE of the join (round 6): inline
+    # cosine_expr re-folded ||a|| and ||b|| per PAIR — 3 interpreted
+    # O(dim) folds per pair instead of 1; same doubles, so the rounded
+    # output is bit-identical (guide §1.2 "don't compute things twice")
+    q = F.broadcast(
+        queries.select(F.col(qid_col), F.col(qvec_col))
+        .withColumn("_qn", _norm(F.col(qvec_col)))
+    )
+    scored = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_vn", _norm(F.col(vec_col)))
+        .crossJoin(q)
+        .select(
+            qid_col,
+            id_col,
+            F.round(
+                _dot(F.col(vec_col), F.col(qvec_col))
+                / (F.col("_vn") * F.col("_qn")),
+                4,
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy(qid_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
@@ -142,7 +158,9 @@ def lsh_topk(
     broadcast probe rows per query (the VECTORS side still maps once and
     never shuffles; only the tiny query side fans out)."""
     planes = _hyperplanes(dim, n_planes)
-    v = vectors.withColumn("bucket", srp_bucket_expr(F.col(vec_col), planes))
+    v = vectors.withColumn(
+        "bucket", srp_bucket_expr(F.col(vec_col), planes)
+    ).withColumn("_vn", _norm(F.col(vec_col)))
     qb = srp_bucket_expr(F.col(qvec_col), planes)
     if multi_probe:
         # flip masks via a HOF so the 512-term bucket expression appears
@@ -153,17 +171,28 @@ def lsh_topk(
         ])
         probes = F.transform(masks, lambda m: qb.bitwiseXOR(m))
         q = F.broadcast(
-            queries.select(qid_col, qvec_col, F.explode(probes).alias("bucket"))
+            queries.select(
+                qid_col, qvec_col, F.explode(probes).alias("bucket")
+            ).withColumn("_qn", _norm(F.col(qvec_col)))
         )
     else:
-        q = F.broadcast(queries.withColumn("bucket", qb))
+        q = F.broadcast(
+            queries.withColumn("bucket", qb)
+            .withColumn("_qn", _norm(F.col(qvec_col)))
+        )
     # no distinct needed: a vector owns ONE bucket and the probe buckets
     # are pairwise different, so each (query, vector) pair meets at most
-    # once — a distinct() here would buy nothing and cost a shuffle
+    # once — a distinct() here would buy nothing and cost a shuffle.
+    # norms ride the join sides (round 6: one O(dim) fold per pair, not 3;
+    # bit-identical — see brute_force_topk)
     scored = v.join(q, "bucket").select(
         qid_col,
         id_col,
-        F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)), 4).alias("cosine"),
+        F.round(
+            _dot(F.col(vec_col), F.col(qvec_col))
+            / (F.col("_vn") * F.col("_qn")),
+            4,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -396,19 +425,27 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             vectors, n_centroids, id_col=id_col, vec_col=vec_col
         )
-    v = vectors.withColumn("_ivf", ivf_assign_udf(centroids)(F.col(vec_col)))
+    v = vectors.withColumn(
+        "_ivf", ivf_assign_udf(centroids)(F.col(vec_col))
+    ).withColumn("_vn", _norm(F.col(vec_col)))
     probes = F.broadcast(
         queries.select(
             qid_col, qvec_col,
             F.explode(
                 ivf_probe_udf(centroids, n_probe)(F.col(qvec_col))
             ).alias("_ivf"),
-        )
+        ).withColumn("_qn", _norm(F.col(qvec_col)))
     )
+    # norms ride the join sides (round 6: one O(dim) fold per pair, not 3;
+    # bit-identical — see brute_force_topk)
     scored = v.join(probes, "_ivf").select(
         qid_col,
         id_col,
-        F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)), 4).alias("cosine"),
+        F.round(
+            _dot(F.col(vec_col), F.col(qvec_col))
+            / (F.col("_vn") * F.col("_qn")),
+            4,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -208,69 +208,133 @@ def repetition_stats(
       dup2_frac             — fraction of 2-gram mass in grams occurring
                               more than once
 
-    plus the composite keep flag. Shape: ONE explode of (n, gram) pairs ->
-    codegen count agg -> conditional-agg re-group per doc (two shuffles,
-    both map-side combined; no interpreted HOF counting, which would be
-    O(n^2) per document). Output fractions are rounded and never NULL;
+    plus the composite keep flag. Shape since round 6: map-only — per-doc
+    gram-hash arrays sorted and folded in place (`repetition_cols`), ZERO
+    shuffles; the previous explode + two hash-agg exchanges computed
+    identical values (guide §2.4 "remove shuffles outright").
+    Output fractions are rounded and never NULL;
     NOTE an empty/one-gram doc's single (possibly partial) gram is
     trivially the top gram, so top2/top3_frac = 1.0 and keep = 0 — compose
     with gopher_filter's word_count rule (as curation.curate does) if tiny
     docs should be judged on length, not repetition."""
-    words_col = "_rs_words"
-    base = df.select(
-        F.col(id_col), words_expr(F.col(text_col)).alias(words_col)
+    return repetition_cols(
+        df.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col,
+        max_top2_frac=max_top2_frac,
+        max_top3_frac=max_top3_frac,
+        max_dup2_frac=max_dup2_frac,
+    ).select(id_col, "top2_frac", "top3_frac", "dup2_frac", "keep")
+
+
+def _run_stats(arr: Column) -> Column:
+    """(mx, dup) = (max equal-run length, mass of runs longer than 1) over
+    a SORTED array, via one linear fold. Equal hashes are adjacent after
+    the sort, so run lengths ARE the per-value counts. The fold state rides
+    a 4-field struct and the lambda references ONLY (acc, x) — no outer
+    column captures, so CollapseProject cannot re-inline an expensive
+    expression into the lambda body (the round-1 HOF re-evaluation sharp
+    edge: lambda-body references re-evaluate per element; the HOF's input
+    argument evaluates once per row)."""
+    zero = F.struct(
+        F.lit(0).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("mx"),
+        F.lit(0).cast("long").alias("dup"),
     )
 
-    def grams_all(n: int) -> Column:
-        w = F.col(words_col)
-        k = F.greatest(F.size(w) - (n - 1), F.lit(1))
-        return F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.array_join(F.slice(w, i + 1, n), " ").alias("g"),
-            ),
+    def merge(acc, x):
+        same = (acc["run"] > 0) & (x == acc["prev"])
+        closes = (acc["run"] > 0) & ~same
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(closes, F.greatest(acc["mx"], acc["run"]))
+            .otherwise(acc["mx"]).alias("mx"),
+            F.when(closes & (acc["run"] > 1), acc["dup"] + acc["run"])
+            .otherwise(acc["dup"]).alias("dup"),
         )
 
-    # hash each gram to 8 bytes BEFORE the aggregate: the count shuffle then
-    # carries (id, n, int64) instead of the gram STRINGS — measured 1.35 GB
-    # -> ~0.5 GB shuffle on a 300 k-doc corpus, and the hash-agg map stores
-    # longs, not strings. A 64-bit collision within one document's ~200
-    # grams is ~1e-15 — counting, not identity, so collisions only
-    # perturb a fraction in the 4th decimal with negligible probability.
-    exploded = base.select(
-        id_col, F.explode(F.concat(grams_all(2), grams_all(3))).alias("ng")
-    ).select(
-        id_col, F.col("ng.n").alias("n"), F.xxhash64("ng.n", "ng.g").alias("gh")
-    )
-    counts = exploded.groupBy(id_col, "n", "gh").agg(F.count("*").alias("c"))
+    def finish(acc):
+        return F.struct(
+            F.greatest(acc["mx"], acc["run"]).alias("mx"),
+            (acc["dup"]
+             + F.when(acc["run"] > 1, acc["run"])
+             .otherwise(F.lit(0).cast("long"))).alias("dup"),
+        )
+
+    return F.aggregate(arr, zero, merge, finish)
+
+
+def repetition_cols(
+    df: DataFrame,
+    text_col: str = "text",
+    max_top2_frac: float = 0.20,
+    max_top3_frac: float = 0.18,
+    max_dup2_frac: float = 0.60,
+) -> DataFrame:
+    """Append top2_frac/top3_frac/dup2_frac/keep as COLUMNS, shuffle-free
+    (round-6 optimization). All of one document's n-grams live in its own
+    word array, so per-(doc, gram) counting never needs an exchange: hash
+    each gram to 64 bits, sort the per-row hash array, fold adjacent equal
+    runs (`_run_stats`). The round-3..5 shape exploded ~2x|words| rows per
+    doc through TWO hash-agg shuffles to compute the same three fractions.
+
+    NULL-text rows produce (1.0, 1.0, 0.0, keep=0) exactly like the
+    exploded form did (k = greatest(NULL - ..., 1) = 1 there too: one
+    NULL gram per n, counted once). Collision note: a 64-bit collision
+    within one doc's
+    ~hundreds of grams is ~1e-15 and only perturbs a 4-dp fraction
+    (counting, not identity) — the same risk profile as the previous
+    shape's pre-shuffle xxhash64 reduction, and the same (n, gram) hash
+    input."""
+    words_col = "_rs_words"
+    # materialize words: the gram-building lambdas below reference it per
+    # element; two consumers (the n=2 and n=3 arrays) keep CollapseProject
+    # from inlining the split into the lambda bodies (CLAUDE.md sharp edge)
+    out = df.withColumn(words_col, words_expr(F.col(text_col)))
+    w = F.col(words_col)
+
+    def gram_hashes(n: int) -> Column:
+        k = F.greatest(F.size(w) - (n - 1), F.lit(1))
+        # sort_array, NOT array_sort: ArraySort is itself a HOF whose
+        # default comparator is an interpreted lambda per COMPARISON
+        # (~n log n lambda rows per doc — measured 5x the whole operator);
+        # SortArray is a plain expression
+        return F.sort_array(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.xxhash64(
+                    F.lit(n), F.array_join(F.slice(w, i + 1, n), " ")
+                ),
+            )
+        )
+
+    s2, s3 = "_rs_s2", "_rs_s3"
+    out = out.withColumns({s2: gram_hashes(2), s3: gram_hashes(3)})
 
     def frac(num: Column, den: Column) -> Column:
-        return F.round(
-            F.coalesce(num, F.lit(0)) / F.greatest(den, F.lit(1)).cast("double"), 4
-        )
+        return F.round(num / F.greatest(den, F.lit(1)).cast("double"), 4)
 
-    mx2 = F.max(F.when(F.col("n") == 2, F.col("c")))
-    tot2 = F.sum(F.when(F.col("n") == 2, F.col("c")))
-    dup2 = F.sum(F.when((F.col("n") == 2) & (F.col("c") > 1), F.col("c")))
-    mx3 = F.max(F.when(F.col("n") == 3, F.col("c")))
-    tot3 = F.sum(F.when(F.col("n") == 3, F.col("c")))
-    stats = counts.groupBy(id_col).agg(
-        frac(mx2, tot2).alias("top2_frac"),
-        frac(dup2, tot2).alias("dup2_frac"),
-        frac(mx3, tot3).alias("top3_frac"),
+    r2, r3 = "_rs_r2", "_rs_r3"
+    out = out.withColumns(
+        {r2: _run_stats(F.col(s2)), r3: _run_stats(F.col(s3))}
     )
-    return stats.select(
-        id_col,
-        "top2_frac",
-        "top3_frac",
-        "dup2_frac",
-        (
-            (F.col("top2_frac") <= max_top2_frac)
-            & (F.col("top3_frac") <= max_top3_frac)
-            & (F.col("dup2_frac") <= max_dup2_frac)
-        ).cast("int").alias("keep"),
-    )
+    top2 = frac(F.col(r2)["mx"], F.size(s2))
+    dup2 = frac(F.col(r2)["dup"], F.size(s2))
+    top3 = frac(F.col(r3)["mx"], F.size(s3))
+    return out.withColumns(
+        {
+            "top2_frac": top2,
+            "top3_frac": top3,
+            "dup2_frac": dup2,
+            "keep": (
+                (top2 <= max_top2_frac)
+                & (top3 <= max_top3_frac)
+                & (dup2 <= max_dup2_frac)
+            ).cast("int"),
+        }
+    ).drop(words_col, s2, s3, r2, r3)
 
 
 def chunk_text(

@@ -28,6 +28,19 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # InferFiltersFromGenerate duplicates the GENERATOR EXPRESSION into
+        # an inferred `size(e) > 0` Filter; for computed arrays (the span
+        # builder, chunkers) the filter inlines the whole HOF tree with
+        # split() re-substituted into lambda bodies — re-evaluated per
+        # element (round-6: the e2e span build measured 2x+ for this one
+        # inferred filter). The engine never explodes nullable STORED
+        # arrays where the inferred filter would pay; excluding the rule
+        # only removes a redundant re-computation (plan semantics
+        # unchanged at any scale).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -470,16 +470,74 @@ def test_retention_cohort_matrix(spark, tmp_path):
     assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}
 
 
-def test_repetition_stats_shuffle_carries_hashes_not_strings(spark, corpus):
-    """The round-3 shuffle diet: the gram count aggregate shuffles
-    (id, n, int64-hash) — gram STRINGS must not survive past the first
-    projection (a map-only HOF-fold variant was measured 10x slower in
-    absolute wall: interpreted lambda cost dwarfs the shuffle savings —
-    BENCH.md has the three-way A/B)."""
+def test_repetition_stats_is_map_only(spark, corpus):
+    """Round-6 shape: per-doc gram hashes sorted (sort_array, NOT the
+    ArraySort HOF whose interpreted comparator was the real cost of the
+    round-3 fold attempt) and folded in place — ZERO exchanges; counting
+    still rides 64-bit xxhash grams, never gram strings."""
     from ner_ocr_spark.operators.textstats import repetition_stats
 
     plan = repetition_stats(corpus)._jdf.queryExecution().executedPlan().toString()
-    assert "xxhash64" in plan and "Exchange" in plan
+    assert "xxhash64" in plan
+    assert "Exchange" not in plan
+    assert "sort_array" in plan
+    # the sort must be the expression form: ArraySort's comparator lambda
+    # is interpreted per COMPARISON (measured ~20x on this operator)
+    assert "array_sort" not in plan
+
+
+def test_repetition_stats_matches_exploded_form(spark, corpus):
+    """The map-only fold must reproduce the round-3..5 explode+count
+    semantics exactly — including NULL text (one NULL gram per n) and
+    empty/whitespace-only docs (single partial gram)."""
+    from pyspark.sql import functions as F
+
+    from ner_ocr_spark.operators.textstats import repetition_stats, words_expr
+
+    rows = [(1, "a a a a a a a a"), (2, ""), (3, "x"),
+            (4, "b c b c b c d"), (5, None), (6, "  sp   out\tv\nm  "),
+            (7, "q w e r t y u i o p " * 3), (8, "   "),
+            (9, "one two one two one two one two two one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # reference: the pre-round-6 exploded implementation, inline
+    words_col = "_w"
+    base = df.select("doc_id", words_expr(F.col("text")).alias(words_col))
+
+    def grams_all(n):
+        w = F.col(words_col)
+        k = F.greatest(F.size(w) - (n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(w, i + 1, n), " ").alias("g")))
+
+    exploded = base.select(
+        "doc_id", F.explode(F.concat(grams_all(2), grams_all(3))).alias("ng")
+    ).select("doc_id", F.col("ng.n").alias("n"),
+             F.xxhash64("ng.n", "ng.g").alias("gh"))
+    counts = exploded.groupBy("doc_id", "n", "gh").agg(F.count("*").alias("c"))
+
+    def frac(num, den):
+        return F.round(
+            F.coalesce(num, F.lit(0)) / F.greatest(den, F.lit(1)).cast("double"), 4)
+
+    stats = counts.groupBy("doc_id").agg(
+        frac(F.max(F.when(F.col("n") == 2, F.col("c"))),
+             F.sum(F.when(F.col("n") == 2, F.col("c")))).alias("top2_frac"),
+        frac(F.sum(F.when((F.col("n") == 2) & (F.col("c") > 1), F.col("c"))),
+             F.sum(F.when(F.col("n") == 2, F.col("c")))).alias("dup2_frac"),
+        frac(F.max(F.when(F.col("n") == 3, F.col("c"))),
+             F.sum(F.when(F.col("n") == 3, F.col("c")))).alias("top3_frac"))
+    ref = stats.select(
+        "doc_id", "top2_frac", "top3_frac", "dup2_frac",
+        ((F.col("top2_frac") <= 0.20) & (F.col("top3_frac") <= 0.18)
+         & (F.col("dup2_frac") <= 0.60)).cast("int").alias("keep"))
+
+    a = {r[0]: tuple(r)[1:] for r in ref.collect()}
+    b = {r[0]: tuple(r)[1:] for r in repetition_stats(df).collect()}
+    assert a == b
 
 
 # -- interval join --------------------------------------------------------------
