@@ -46,11 +46,14 @@ def group_lines(
     line_id, avg_y, x-sorted text joined by 3 spaces (the reference's
     separator, /root/reference/src/pipelines/entity.py:131)."""
     doc_cols = doc_cols or ["doc_id"]
-    # order by y (W1); x ordering happens inside the line via array_sort
+    # order by y (W1); x ordering happens inside the line via sort_array
+    # (the expression form — ArraySort's default comparator is an
+    # interpreted lambda per comparison; identical ordering for struct
+    # elements, round 6)
     with_ids = sessionize(regions, doc_cols, "y", line_threshold, "line_id")
     line_text = F.array_join(
         F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("x"), F.col("text")))),
+            F.sort_array(F.collect_list(F.struct(F.col("x"), F.col("text")))),
             lambda s: s["text"],
         ),
         "   ",
@@ -82,7 +85,7 @@ def assemble_page_text(
     )
     page_text = F.array_join(
         F.transform(
-            F.array_sort(
+            F.sort_array(
                 F.collect_list(F.struct("line_id", "prefix", "line_text"))
             ),
             lambda s: F.concat(s["prefix"], s["line_text"]),

@@ -32,36 +32,48 @@ def words_expr(col: Column) -> Column:
 
 
 def token_count_ws(col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(words_expr(col))
+    """Whitespace token count. Counted as separator RUNS + 1 instead of
+    materializing the split array (round 6): for any split-with-limit(-1),
+    size(split(s, p)) == regexp_count(s, p) + 1 — trailing/leading empty
+    tokens included on both sides — so the values are identical while the
+    token array is never allocated (verified corpus-wide + on edge-ws
+    adversarials)."""
+    return F.regexp_count(F.trim(F.lower(col)), F.lit(WS_RUN)) + F.lit(1)
 
 
 def token_count_bpe_ish(col: Column) -> Column:
     """BPE-ish token estimate: word-piece regex splits on transitions
     (letters / digits / punctuation runs), then ~4-chars-per-token for long
-    words. Deterministic and SQL-expressible."""
-    pieces = F.split(F.lower(col), r"[^a-z0-9]+")
-    return F.aggregate(
-        pieces,
-        F.lit(0),
-        lambda acc, w: acc + F.when(F.length(w) == 0, 0).otherwise(
-            F.ceil(F.length(w) / 4.0).cast("int")
-        ),
-    )
+    words. Deterministic and SQL-expressible. Since round 6 this counts
+    greedy `[a-z0-9]{1,4}` matches directly: a run of length L yields
+    exactly ceil(L / 4) non-overlapping greedy matches, so the sum over
+    runs equals the old split + per-piece ceil fold (empty pieces
+    contributed 0 there) — one regex pass, no array, no interpreted HOF."""
+    return F.regexp_count(F.lower(col), F.lit(r"[a-z0-9]{1,4}"))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a composite
-    score in [0,1]."""
+    score in [0,1]. The word count and stopword hits materialize ONCE in a
+    lower projection (round 6): inlining `words_expr` into every consumer
+    re-ran the split regex 4-5x per row — the multi-referenced intermediate
+    columns below block CollapseProject, so the split happens once."""
     t = F.col(text_col)
-    words = words_expr(t)
-    n_words = F.size(words)
-    n_chars = F.length(t)
+    w_col, nw_col, ns_col = "_qf_words", "_qf_nw", "_qf_ns"
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+    words = F.col(w_col)
+    staged = df.withColumn(w_col, words_expr(t)).withColumns(
+        {
+            nw_col: F.size(words),
+            ns_col: F.size(F.array_intersect(F.array_distinct(words), stop_arr)),
+        }
+    )
+    n_words = F.col(nw_col)
+    n_stop = F.col(ns_col)
+    n_chars = F.length(t)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w \t\n\x0B\f\r]", ""))
     mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
-    return df.withColumns(
+    return staged.withColumns(
         {
             "n_chars": n_chars.cast("long"),
             "n_words": n_words.cast("long"),
@@ -78,7 +90,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 4,
             ),
         }
-    )
+    ).drop(w_col, nw_col, ns_col)
 
 
 # explicit tie priority, pinned identically in the oracle SQL's CASE order
@@ -89,8 +101,14 @@ _LANG_TIE_PRIORITY = {"zh": 5, "fr": 4, "es": 3, "de": 2, "en": 1}
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Lexicon-overlap language ID: argmax over per-language marker hits;
     ties break by the pinned priority (zh > fr > es > de > en) and
-    zero-evidence falls back to 'en'. Pure expressions."""
-    words = F.array_distinct(words_expr(F.col(text_col)))
+    zero-evidence falls back to 'en'. Pure expressions; the distinct word
+    array materializes once (round 6 — it was inlined into all five
+    per-language intersects, re-splitting the text 5x per row)."""
+    w_col = "_li_words"
+    df = df.withColumn(
+        w_col, F.array_distinct(words_expr(F.col(text_col)))
+    )
+    words = F.col(w_col)
     scores = []
     for lang, markers in sorted(_LANG_MARKERS.items()):
         arr = F.array(*[F.lit(m) for m in markers])
@@ -103,12 +121,15 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     # argmax by (hits, prio): struct ordering compares fields left to right,
     # so equal hit counts resolve by the explicit priority — never by the
-    # accidental lang-string ordering
-    best = F.array_max(F.array(*scores))
+    # accidental lang-string ordering. `best` materializes too: its two
+    # field accesses would otherwise duplicate the whole argmax tree.
+    b_col = "_li_best"
+    df = df.withColumn(b_col, F.array_max(F.array(*scores)))
+    best = F.col(b_col)
     return df.withColumn(
         "lang_pred",
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("en")),
-    )
+    ).drop(w_col, b_col)
 
 
 def gopher_filter(
@@ -457,7 +478,9 @@ def fingerprint(
         F.sequence(F.lit(1), n_win),
         lambda j: F.array_min(F.slice(F.col(hs_col), j, window)),
     )
-    fp = F.array_sort(F.array_distinct(selected))
+    # sort_array == array_sort on non-null longs, minus the interpreted
+    # per-comparison lambda (round 6)
+    fp = F.sort_array(F.array_distinct(selected))
     return (
         out.withColumn("fingerprint", fp)
         .withColumn(

@@ -239,7 +239,11 @@ def assemble_documents(extracted: DataFrame) -> DataFrame:
     sort_array on the leading (span_idx, line_idx) struct fields restores
     order without a global sort."""
     ordered = F.transform(
-        F.array_sort(
+        # sort_array, not array_sort: same ordering ((span_idx, line_idx)
+        # is unique per doc, so the nullable tail fields never decide),
+        # but ArraySort's default comparator is an interpreted lambda per
+        # comparison (round 6)
+        F.sort_array(
             F.collect_list(
                 F.struct(
                     F.col("span_idx"),
