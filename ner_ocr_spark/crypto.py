@@ -246,7 +246,11 @@ def std_key(password: bytes, o_entry: bytes, p: int, id0: bytes,
     h = md5()
     h.update((password + PAD)[:32])
     h.update(o_entry[:32])
-    h.update(struct.pack("<i", p & 0xFFFFFFFF if p >= 0 else p))
+    # '<I' of the low 32 bits: identical bytes to '<i' for negative /P
+    # (two's complement), and real-world writers that serialize /P
+    # UNSIGNED (e.g. 4294963392) no longer blow up struct.pack with a
+    # foreign exception type (round-5 ADVICE)
+    h.update(struct.pack("<I", p & 0xFFFFFFFF))
     h.update(id0)
     key = h.digest()
     if r >= 3:

@@ -207,16 +207,16 @@ def rotate_gray(gray: np.ndarray, angle_deg: float, bg: int) -> np.ndarray:
     np.clip(x0, -1, w, out=x0)
     y0 += 1
     x0 += 1
-    # float64 ON PURPOSE: fy/fx are float64 (float32 sy minus int32 y0
-    # promotes), so the original mixed g's float32 gathers into float64
-    # products — gathering from a float64 table reproduces those products
-    # bit-for-bit while letting the chains below run in place
-    g = np.full((h + 3, w + 3), float(bg))
+    g = np.full((h + 3, w + 3), np.float32(bg))
     g[1 : h + 1, 1 : w + 1] = gray
-    # flat-index gathers + reused (1-f) factors + in-place accumulation:
-    # bit-identical to the 2-D fancy-indexed form (same multiply/add
-    # association order, same float64 arithmetic), ~2.5x fewer passes over
-    # full-size temporaries (round-6: this call was ~1/3 of ocr_page)
+    # flat-index float32 gathers upcast to float64 before the first
+    # multiply, then reused (1-f) factors + in-place accumulation. fy/fx
+    # are float64 (float32 sy minus int32 y0 promotes — original
+    # behavior), the gathered sample values are exact in either width, and
+    # the multiply/add association order is unchanged, so the result is
+    # bit-identical to the 2-D fancy-indexed form at ~2.5x fewer / ~2x
+    # narrower passes over full-size temporaries (round-6: this call was
+    # ~1/3 of ocr_page)
     gw = w + 3
     flat = y0
     flat *= gw
@@ -224,19 +224,19 @@ def rotate_gray(gray: np.ndarray, angle_deg: float, bg: int) -> np.ndarray:
     gf = g.ravel()
     omfy = 1.0 - fy
     omfx = 1.0 - fx
-    v = gf.take(flat)
+    v = gf.take(flat).astype(np.float64)
     v *= omfy
     v *= omfx
-    t = gf.take(flat + 1)
+    t = gf.take(flat + 1).astype(np.float64)
     t *= omfy
     t *= fx
     v += t
     np.add(flat, gw, out=flat)
-    t2 = gf.take(flat)
+    t2 = gf.take(flat).astype(np.float64)
     t2 *= fy
     t2 *= omfx
     v += t2
-    t3 = gf.take(flat + 1)
+    t3 = gf.take(flat + 1).astype(np.float64)
     t3 *= fy
     t3 *= fx
     v += t3

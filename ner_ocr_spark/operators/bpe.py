@@ -70,6 +70,16 @@ def learn_bpe(
             # boundary and are never '|'-prefixed) — the freq table is
             # always space-split upstream, so this is a caller bug
             raise ValueError(f"learn_bpe got an unsplit word: {word!r}")
+        if "|" in word:
+            # '|' is the token-start sentinel of the piped-replace
+            # encoding: a literal pipe in a word would be indistinguishable
+            # from a marker downstream (tokenize_expr would silently drop
+            # it and n_tokens_expr overcount), and the DuckDB twin applies
+            # the identical transform — the value oracle cannot see the
+            # corruption. Fail loudly instead (round-5 ADVICE).
+            raise ValueError(
+                f"learn_bpe got a word containing the '|' sentinel: {word!r}"
+            )
         key = tuple(word)
         vocab[key] = vocab.get(key, 0) + int(f)
     merges: list[tuple[str, str]] = []

@@ -163,7 +163,11 @@ def gopher_filter(
     t = F.col(text_col)
     # materialize the word array once: HOF lambdas (aggregate/filter below)
     # re-evaluate inline subexpressions per element, so an inline split()
-    # here would re-split the text O(words) times (CLAUDE.md sharp edge)
+    # here would re-split the text O(words) times (CLAUDE.md sharp edge).
+    # note (round 6): regex-count forms of mean_word_len / alpha_ratio
+    # (ws-stripped length; a non-ws-run-with-letter match count) were
+    # value-identical but MEASURED SLOWER (3.7 vs 3.05 s at sf1) than
+    # these folds — the alpha pattern backtracks; the folds stay.
     df = df.withColumn("_gf_words", words_expr(t))
     words = F.col("_gf_words")
     n_words = F.size(words)
@@ -309,26 +313,35 @@ def repetition_cols(
     (counting, not identity) — the same risk profile as the previous
     shape's pre-shuffle xxhash64 reduction, and the same (n, gram) hash
     input."""
-    words_col = "_rs_words"
-    # materialize words: the gram-building lambdas below reference it per
-    # element; two consumers (the n=2 and n=3 arrays) keep CollapseProject
-    # from inlining the split into the lambda bodies (CLAUDE.md sharp edge)
-    out = df.withColumn(words_col, words_expr(F.col(text_col)))
-    w = F.col(words_col)
+    words_col, wh_col = "_rs_words", "_rs_wh"
+    # materialize words, then PER-WORD hashes: the gram hash combines the
+    # word hashes (xxhash64 of 2-3 longs) instead of slicing + joining the
+    # word strings per gram — measured ~2x on the gram build, with the
+    # same grouping (grams equal iff their word sequences are equal, up to
+    # the same negligible 64-bit collision class). Multi-referenced
+    # non-cheap columns keep CollapseProject from inlining the split into
+    # the lambda bodies (CLAUDE.md sharp edge).
+    out = df.withColumn(words_col, words_expr(F.col(text_col))).withColumn(
+        wh_col, F.transform(F.col(words_col), lambda x: F.xxhash64(x))
+    )
+    wh = F.col(wh_col)
 
     def gram_hashes(n: int) -> Column:
-        k = F.greatest(F.size(w) - (n - 1), F.lit(1))
-        # sort_array, NOT array_sort: ArraySort is itself a HOF whose
-        # default comparator is an interpreted lambda per COMPARISON
-        # (~n log n lambda rows per doc — measured 5x the whole operator);
-        # SortArray is a plain expression
-        return F.sort_array(
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.xxhash64(
-                    F.lit(n), F.array_join(F.slice(w, i + 1, n), " ")
-                ),
+        k = F.greatest(F.size(wh) - (n - 1), F.lit(1))
+        # F.get (0-based) NULLs past the end — a shorter-than-n doc's
+        # single partial gram hashes the words it has (xxhash64 skips
+        # NULL args), still one gram counted once, exactly like the old
+        # partial slice+join. sort_array, NOT array_sort: ArraySort is
+        # itself a HOF whose default comparator is an interpreted lambda
+        # per COMPARISON (measured 20x on this operator).
+        if n == 2:
+            lam = lambda i: F.xxhash64(F.get(wh, i), F.get(wh, i + 1))
+        else:
+            lam = lambda i: F.xxhash64(
+                F.get(wh, i), F.get(wh, i + 1), F.get(wh, i + 2)
             )
+        return F.sort_array(
+            F.transform(F.sequence(F.lit(0), k - 1), lam)
         )
 
     s2, s3 = "_rs_s2", "_rs_s3"
@@ -355,7 +368,7 @@ def repetition_cols(
                 & (dup2 <= max_dup2_frac)
             ).cast("int"),
         }
-    ).drop(words_col, s2, s3, r2, r3)
+    ).drop(words_col, wh_col, s2, s3, r2, r3)
 
 
 def chunk_text(

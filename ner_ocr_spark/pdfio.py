@@ -268,7 +268,24 @@ def _scan_objects(blob: bytes):
             length = value.get("Length") if isinstance(value, dict) else None
             end = blob.find(b"endstream", p)
             if isinstance(length, int):
-                ext = p + length if end < 0 else min(p + length, end)
+                claimed = p + length
+                # CORROBORATED /Length is trusted for the full extent: when
+                # the claimed end is followed by (ws +) 'endstream', the
+                # literal is telling the truth, and a compressed payload
+                # that happens to contain the bytes 'endstream' EARLIER
+                # must not re-expose its tail to fake `N G obj` token
+                # shadowing (round-5 ADVICE — the min() clamp alone undid
+                # the round-3 extent fix for exactly those payloads).
+                # Uncorroborated /Length still clamps to the first
+                # endstream so an over-claiming lie cannot hide later
+                # real objects.
+                tail = blob[claimed:claimed + 16]
+                if tail.lstrip(b"\r\n\t\x0c ").startswith(b"endstream"):
+                    ext = claimed
+                elif end < 0:
+                    ext = claimed
+                else:
+                    ext = min(claimed, end)
                 covered_until = max(covered_until, ext)
             elif end >= 0:
                 covered_until = max(covered_until, end)
@@ -1618,13 +1635,16 @@ def _page_text_lines(objs, page: dict, idx: int) -> list[str]:
         tol = max(2.0, 0.5 * fs_dev)
         if cur_dy is None or dy - cur_dy > tol:
             if cur:
-                joined = " ".join(t for _, t in cur).strip()
+                # PINNED ASCII edge-ws class, not bare strip(): full-Unicode
+                # strip would eat \xa0 etc. and diverge from the normalizer
+                # twins + the trim() oracle (round-5 ADVICE)
+                joined = " ".join(t for _, t in cur).strip(" \t\n\x0b\f\r")
                 if joined:
                     lines.append(joined)
             cur, cur_dy = [], dy
         cur.append((dx, text))
     if cur:
-        joined = " ".join(t for _, t in cur).strip()
+        joined = " ".join(t for _, t in cur).strip(" \t\n\x0b\f\r")
         if joined:
             lines.append(joined)
     return lines

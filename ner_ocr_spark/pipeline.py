@@ -122,25 +122,44 @@ def extract_spans(
     # strip / DOM heuristics) happens inside the NER stage's existing
     # python crossing (with_ner) or in a dedicated Arrow branch (no-NER
     # path below), never as an extra stage over text rows.
+    # SLIM projection through the python boundary (guide §4.1: pass only
+    # the columns the function needs): every other SPAN_COLS field is a
+    # literal for text/html rows (line_idx 0, score 1.0, the rest NULL) —
+    # round 6 re-attaches them JVM-side after the NER crossing instead of
+    # serializing half a million NULL/object cells each way (the
+    # passthrough round-trip alone measured 1.5 s at sf1). `error` stays:
+    # the NER stage SETS it for failed html rows.
     text_branch = (
         spans.filter(F.col("kind").isin(["text", "html"]))
         .select(
             "doc_id",
             "span_idx",
-            F.lit(0).alias("line_idx"),
             "kind",
             F.when(F.col("kind") == "text", normalize_expr(F.col("text")))
             .otherwise(F.col("text"))
             .alias("text"),
+            F.lit(None).cast("string").alias("error"),
+        )
+        .filter((F.col("kind") == "html") | (F.length("text") > 0))
+    )
+
+    def widen_text_rows(df: DataFrame, extra: list[str]) -> DataFrame:
+        """Re-attach the literal span columns the slim text branch left
+        out, restoring SPAN_COLS order (+ NER extras when present)."""
+        return df.select(
+            "doc_id",
+            "span_idx",
+            F.lit(0).alias("line_idx"),
+            "kind",
+            "text",
             F.lit(None).cast("string").alias("media_ref"),
             F.lit(None).cast("array<double>").alias("box"),
             F.lit(1.0).alias("score"),
             F.lit(None).cast("string").alias("transformer_text"),
             F.lit(None).cast("double").alias("transformer_score"),
-            F.lit(None).cast("string").alias("error"),
+            "error",
+            *extra,
         )
-        .filter((F.col("kind") == "html") | (F.length("text") > 0))
-    )
 
     # -- media branch: spread heavy docs, then batched OCR ----------------
     # pdf spans ride the SAME branch: the OCR stage sniffs %PDF- blobs and
@@ -187,7 +206,9 @@ def extract_spans(
             (F.length("text") > 0) | F.col("error").isNotNull()
         )
         ner_fn, ner_schema = make_ner_stage(gaz, passthrough=text_branch.schema)
-        text_tagged = text_branch.mapInPandas(ner_fn, ner_schema)
+        text_tagged = widen_text_rows(
+            text_branch.mapInPandas(ner_fn, ner_schema), ["entities", "bio"]
+        )
         return text_tagged.unionByName(media_branch).select(
             *SPAN_COLS, "entities", "bio"
         )
@@ -213,8 +234,10 @@ def extract_spans(
     from ner_ocr_spark.operators.html import _main_text_err_udf
 
     _main_once = _main_text_err_udf.asNondeterministic()
-    texts_only = text_branch.filter(F.col("kind") == "text")
-    htmls = (
+    texts_only = widen_text_rows(
+        text_branch.filter(F.col("kind") == "text"), []
+    )
+    htmls = widen_text_rows(
         text_branch.filter(F.col("kind") == "html")
         .withColumn("_hx", _main_once(F.col("text")))
         .withColumn("error", F.col("_hx.error"))
@@ -225,7 +248,8 @@ def extract_spans(
             .otherwise(normalize_expr(F.col("_hx.text"))),
         )
         .drop("_hx")
-        .filter((F.length("text") > 0) | F.col("error").isNotNull())
+        .filter((F.length("text") > 0) | F.col("error").isNotNull()),
+        [],
     )
     return (
         texts_only.unionByName(htmls).unionByName(media_branch)
