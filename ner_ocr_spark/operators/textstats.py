@@ -71,7 +71,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.col(nw_col)
     n_stop = F.col(ns_col)
     n_chars = F.length(t)
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w \t\n\x0B\f\r]", ""))
+    # regexp_count of a SINGLE-CHAR class == chars removed by the old
+    # replace-then-length form (each match is exactly one char), without
+    # building the replaced string (round 6; verified corpus-wide)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w \t\n\x0B\f\r]"))
     mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
     return staged.withColumns(
         {
@@ -176,7 +179,8 @@ def gopher_filter(
         F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
         / F.greatest(n_words, F.lit(1)).cast("double")
     )
-    n_symbols = F.length(t) - F.length(F.regexp_replace(t, r"[#@*^~\\]", ""))
+    # single-char class count == removed-chars length diff (round 6)
+    n_symbols = F.regexp_count(t, F.lit(r"[#@*^~\\]"))
     symbol_ratio = n_symbols / n_chars.cast("double")
     n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
     alpha_ratio = n_alpha_words / F.greatest(n_words, F.lit(1)).cast("double")
