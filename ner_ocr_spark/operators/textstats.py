@@ -272,15 +272,20 @@ def _run_stats(arr: Column) -> Column:
     )
 
     def merge(acc, x):
-        same = (acc["run"] > 0) & (x == acc["prev"])
-        closes = (acc["run"] > 0) & ~same
+        # no `run > 0` sentinel guards (round 6, ~15% on the fold): at the
+        # first element prev is the 0 sentinel, and BOTH branches of every
+        # field coincide there — run' = 0+1 = 1 either way, a "close" with
+        # run = 0 leaves mx via greatest(mx, 0) and dup via run > 1 = false
+        # untouched — so dropping the guards is exact even when a real
+        # hash equals 0 (pinned by sentinel adversarials in the tests).
+        same = x == acc["prev"]
         return F.struct(
             x.alias("prev"),
             F.when(same, acc["run"] + 1)
             .otherwise(F.lit(1).cast("long")).alias("run"),
-            F.when(closes, F.greatest(acc["mx"], acc["run"]))
-            .otherwise(acc["mx"]).alias("mx"),
-            F.when(closes & (acc["run"] > 1), acc["dup"] + acc["run"])
+            F.when(same, acc["mx"])
+            .otherwise(F.greatest(acc["mx"], acc["run"])).alias("mx"),
+            F.when(~same & (acc["run"] > 1), acc["dup"] + acc["run"])
             .otherwise(acc["dup"]).alias("dup"),
         )
 

@@ -540,6 +540,27 @@ def test_repetition_stats_matches_exploded_form(spark, corpus):
     assert a == b
 
 
+def test_run_stats_zero_sentinel(spark):
+    """The fold's zero prev-sentinel must not confuse a REAL leading 0
+    hash: the guard-free merge relies on both branches coinciding at the
+    first element (round-6 simplification)."""
+    from pyspark.sql import functions as F
+
+    from ner_ocr_spark.operators.textstats import _run_stats
+
+    df = spark.createDataFrame([(1,)], "i long").select(
+        _run_stats(F.expr("array(0L, 0L, 1L)")).alias("a"),
+        _run_stats(F.expr("array(0L, 1L, 1L, 1L)")).alias("b"),
+        _run_stats(F.expr("array(0L)")).alias("c"),
+        _run_stats(F.expr("array(5L)")).alias("d"),
+    )
+    r = df.first()
+    assert (r["a"]["mx"], r["a"]["dup"]) == (2, 2)
+    assert (r["b"]["mx"], r["b"]["dup"]) == (3, 3)
+    assert (r["c"]["mx"], r["c"]["dup"]) == (1, 0)
+    assert (r["d"]["mx"], r["d"]["dup"]) == (1, 0)
+
+
 # -- interval join --------------------------------------------------------------
 
 
